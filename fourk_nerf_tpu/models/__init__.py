@@ -1,0 +1,16 @@
+"""Scene models (radiance fields) and the SR stack.
+
+Model selection rule matches the reference driver
+(/root/reference/run.py:286-313): ndc -> DirectMPIGO, unbounded_inward ->
+DirectContractedVoxGO, otherwise DirectVoxGO.
+"""
+
+from fourk_nerf_tpu.models import dvgo, dmpigo, dcvgo  # noqa: F401
+
+
+def model_module(ndc: bool, unbounded_inward: bool = False):
+    if ndc:
+        return dmpigo
+    if unbounded_inward:
+        return dcvgo
+    return dvgo

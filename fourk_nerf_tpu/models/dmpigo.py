@@ -1,0 +1,312 @@
+"""DirectMPIGO: multiplane-image voxel radiance field for NDC forward-facing
+scenes -- the encoder model of the 4K LLFF pipeline.
+
+TPU-native redesign of /root/reference/lib/dmpigo.py (DirectMPIGO). The
+forward pass is a dense ``[rays, samples]`` computation: fixed ``N_samples``
+equidistant NDC sampling (already fixed-shape in the reference,
+render_utils_kernel.cu:244-293), with the reference's three ragged
+compactions (in-bbox, mask_cache, alpha>thres) folded into one validity mask
+that zeroes alphas -- numerically identical, statically shaped, XLA-fusible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourk_nerf_tpu.models import common
+from fourk_nerf_tpu.ops import grid_sample, render, rays as ray_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Static model description (hashable: safe to close over under jit)."""
+
+    xyz_min: tuple
+    xyz_max: tuple
+    num_voxels: int
+    mpi_depth: int
+    world_size: tuple
+    mask_cache_world_size: tuple
+    voxel_size_ratio: float
+    fast_color_thres: float = 0.0
+    mask_cache_thres: float = 1e-3
+    mask_cache_path: str | None = None
+    density_type: str = "DenseGrid"
+    k0_type: str = "DenseGrid"
+    rgbnet_dim: int = 0
+    rgbnet_depth: int = 3
+    rgbnet_width: int = 128
+    viewbase_pe: int = 0
+    spatial_pe: int = 0
+    act_type: str = "relu"
+    dim_rend: int = 3
+    mode_type: str = "mlp"
+
+    @property
+    def k0_dim(self) -> int:
+        return 3 if self.rgbnet_dim <= 0 else self.rgbnet_dim
+
+    @property
+    def dim0(self) -> int:
+        # vox features + spatial PE + view PE (/root/reference/lib/dmpigo.py:85)
+        return (3 + 3 * self.viewbase_pe * 2 + 3 + 3 * self.spatial_pe * 2) + self.k0_dim
+
+    def n_samples(self, stepsize: float) -> int:
+        # /root/reference/lib/dmpigo.py:278
+        return int((self.mpi_depth - 1) / stepsize) + 1
+
+
+def make_config(xyz_min, xyz_max, num_voxels, mpi_depth, mask_cache_world_size=None,
+                **kwargs) -> Config:
+    world_size = common.dmpigo_grid_resolution(xyz_min, xyz_max, num_voxels, mpi_depth)
+    voxel_size_ratio = 256.0 / mpi_depth  # /root/reference/lib/dmpigo.py:164
+    if mask_cache_world_size is None:
+        mask_cache_world_size = world_size
+    known = {f.name for f in dataclasses.fields(Config)}
+    derived = {"xyz_min", "xyz_max", "num_voxels", "mpi_depth", "world_size",
+               "mask_cache_world_size", "voxel_size_ratio"}
+    extra = {k: v for k, v in kwargs.items() if k in known - derived}
+    return Config(
+        xyz_min=tuple(float(v) for v in np.asarray(xyz_min)),
+        xyz_max=tuple(float(v) for v in np.asarray(xyz_max)),
+        num_voxels=int(num_voxels),
+        mpi_depth=int(mpi_depth),
+        world_size=tuple(world_size),
+        mask_cache_world_size=tuple(int(v) for v in mask_cache_world_size),
+        voxel_size_ratio=float(voxel_size_ratio),
+        **extra,
+    )
+
+
+def get_kwargs(cfg: Config) -> dict:
+    """Self-describing checkpoint metadata (/root/reference/lib/dmpigo.py:168-187)."""
+    return {
+        "xyz_min": list(cfg.xyz_min),
+        "xyz_max": list(cfg.xyz_max),
+        "num_voxels": cfg.num_voxels,
+        "mpi_depth": cfg.mpi_depth,
+        "voxel_size_ratio": cfg.voxel_size_ratio,
+        "mask_cache_path": cfg.mask_cache_path,
+        "mask_cache_thres": cfg.mask_cache_thres,
+        "mask_cache_world_size": list(cfg.mask_cache_world_size),
+        "fast_color_thres": cfg.fast_color_thres,
+        "density_type": cfg.density_type,
+        "k0_type": cfg.k0_type,
+        "density_config": {},
+        "k0_config": {},
+        "mode_type": cfg.mode_type,
+        "act_type": cfg.act_type,
+        "dim_rend": cfg.dim_rend,
+        "rgbnet_dim": cfg.rgbnet_dim,
+        "rgbnet_depth": cfg.rgbnet_depth,
+        "rgbnet_width": cfg.rgbnet_width,
+        "viewbase_pe": cfg.viewbase_pe,
+        "spatial_pe": cfg.spatial_pe,
+    }
+
+
+def init(cfg: Config, key: jax.Array, init_mask: np.ndarray | None = None):
+    """Create (params, buffers).
+
+    params (trainable): density ``[X,Y,Z,1]``, k0 ``[X,Y,Z,C]``, rgbnet MLP.
+    buffers: act_shift ``[1,1,D,1]`` (per-plane bias, lib/dmpigo.py:48-58) and
+    mask_cache bool grid.
+    """
+    X, Y, Z = cfg.world_size
+    params: dict = {
+        "density": jnp.zeros((X, Y, Z, 1), dtype=jnp.float32),
+        "k0": jnp.zeros((X, Y, Z, cfg.k0_dim), dtype=jnp.float32),
+    }
+    if cfg.rgbnet_dim > 0:
+        dims = [cfg.dim0] + [cfg.rgbnet_width] * (cfg.rgbnet_depth - 1) + [cfg.dim_rend]
+        params["rgbnet"] = common.mlp_init(key, dims)
+        if cfg.dim_rend > 3:
+            key, krend = jax.random.split(key)
+            params["rend_layer"] = common.mlp_init(krend, [cfg.dim_rend, 3])
+
+    act_shift = common.mpi_act_shift(cfg.mpi_depth, cfg.voxel_size_ratio)
+    buffers = {
+        "act_shift": jnp.asarray(act_shift).reshape(1, 1, cfg.mpi_depth, 1),
+        "mask_cache": (
+            jnp.asarray(init_mask, dtype=bool)
+            if init_mask is not None
+            else jnp.ones(cfg.mask_cache_world_size, dtype=bool)
+        ),
+    }
+    return params, buffers
+
+
+def _xyz_minmax(cfg: Config, dtype=jnp.float32):
+    return jnp.asarray(cfg.xyz_min, dtype=dtype), jnp.asarray(cfg.xyz_max, dtype=dtype)
+
+
+def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, *,
+            stepsize: float, bg: float = 0.0, rand_bkgd: bool = False,
+            is_train: bool = False, render_depth: bool = False,
+            key: jax.Array | None = None, **unused) -> dict[str, Any]:
+    """Volume-render N rays. All outputs are dense ``[N]`` / ``[N, K]`` /
+    ``[N, K, C]`` (the reference returns ragged ``[M]`` lists; dense weights
+    already carry the compaction as zeros).
+
+    Reference: /root/reference/lib/dmpigo.py:292-427.
+    """
+    N = rays_o.shape[0]
+    K = cfg.n_samples(stepsize)
+    xyz_min, xyz_max = _xyz_minmax(cfg)
+    interval = stepsize * cfg.voxel_size_ratio
+
+    # --- sampling (fixed shape) + in-bbox validity --------------------------
+    pts = render.sample_ndc_pts_on_rays(rays_o, rays_d, K)  # [N,K,3]
+    valid = jnp.all((pts >= xyz_min) & (pts <= xyz_max), axis=-1)
+
+    # --- free-space skip (mask_cache, nearest lookup) -----------------------
+    valid &= grid_sample.nearest_mask_lookup(buffers["mask_cache"], pts, xyz_min, xyz_max)
+
+    # --- density -> alpha (+ per-plane act_shift), alpha threshold ----------
+    ind01 = grid_sample.world_to_ind01(pts, xyz_min, xyz_max)
+    density = grid_sample.trilinear_sample(params["density"], ind01)[..., 0]
+    act_shift = grid_sample.trilinear_sample(buffers["act_shift"], ind01)[..., 0]
+    alpha = render.raw2alpha(density + act_shift, 0.0, interval)
+    if cfg.fast_color_thres > 0:
+        valid &= alpha > cfg.fast_color_thres
+
+    # --- transmittance scan + weight threshold ------------------------------
+    weights, alphainv_last, _T = render.alpha2weight(alpha, valid)
+    if cfg.fast_color_thres > 0:
+        weights = jnp.where(weights > cfg.fast_color_thres, weights, 0.0)
+
+    # --- color --------------------------------------------------------------
+    vox_emb = grid_sample.trilinear_sample(params["k0"], ind01)  # [N,K,C]
+    if cfg.rgbnet_dim <= 0:
+        rgb_raw = jax.nn.sigmoid(vox_emb)
+    else:
+        pe_spa = ind01[..., ::-1] * 2.0 - 1.0  # flipped zyx, lib/dmpigo.py:338
+        pe_emb = ray_ops.positional_encoding(pe_spa, cfg.spatial_pe)
+        vdir_emb = ray_ops.positional_encoding(viewdirs, cfg.viewbase_pe)  # [N, pe]
+        vdir_emb = jnp.broadcast_to(vdir_emb[:, None, :], (N, K, vdir_emb.shape[-1]))
+        rgb_feat = jnp.concatenate([vox_emb, pe_emb, vdir_emb], axis=-1)
+        act = common.activation(cfg.act_type if cfg.dim_rend <= 3 else "lkrelu")
+        rgb_logit = common.mlp_apply(params["rgbnet"], rgb_feat, act)
+        rgb_raw = jax.nn.sigmoid(rgb_logit)
+
+    # --- composite ----------------------------------------------------------
+    rgb_feature = render.composite(weights, rgb_raw)  # [N, dim_rend]
+    if cfg.dim_rend > 3:
+        act = common.activation("lkrelu")
+        rgb_marched = common.mlp_apply(params["rend_layer"], rgb_feature, act)
+        rgb_raw = jax.nn.sigmoid(common.mlp_apply(params["rend_layer"], rgb_raw, act))
+    else:
+        rgb_marched = rgb_feature
+
+    if rand_bkgd and is_train:
+        assert key is not None, "rand_bkgd training needs a PRNG key"
+        noise = jax.random.uniform(key, rgb_marched.shape, dtype=rgb_marched.dtype)
+        rgb_marched = rgb_marched + alphainv_last[:, None] * noise
+    else:
+        rgb_marched = rgb_marched + alphainv_last[:, None] * bg
+
+    s = (jnp.arange(K, dtype=rgb_marched.dtype) + 0.5) / K  # lib/dmpigo.py:398
+    s = jnp.broadcast_to(s[None, :], (N, K))
+
+    out = {
+        "alphainv_last": alphainv_last,
+        "weights": weights,
+        "rgb_marched": rgb_marched,
+        "rgb_feature": rgb_feature,
+        "raw_alpha": jnp.where(valid, alpha, 0.0),
+        "raw_rgb": rgb_raw,
+        "n_max": K,
+        "s": s,
+    }
+    if render_depth:
+        out["depth"] = jax.lax.stop_gradient(render.composite(weights, s))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side (per-phase) maintenance ops
+# ---------------------------------------------------------------------------
+
+def _grid_xyz(cfg: Config, shape):
+    xs = [np.linspace(cfg.xyz_min[d], cfg.xyz_max[d], shape[d]) for d in range(3)]
+    gx, gy, gz = np.meshgrid(*xs, indexing="ij")
+    return jnp.asarray(np.stack([gx, gy, gz], axis=-1), dtype=jnp.float32)
+
+
+def update_occupancy_cache(cfg: Config, params: dict, buffers: dict) -> dict:
+    """AND the occupancy cache with dilated current-density alpha
+    (/root/reference/lib/dmpigo.py:213-226; note the reference queries density
+    WITHOUT act_shift here -- reproduced)."""
+    xyz = _grid_xyz(cfg, buffers["mask_cache"].shape)
+    xyz_min, xyz_max = _xyz_minmax(cfg)
+    density = grid_sample.grid_query(params["density"], xyz, xyz_min, xyz_max)[..., 0]
+    alpha = render.raw2alpha(density, 0.0, cfg.voxel_size_ratio)
+    alpha = grid_sample.max_pool3d_same(alpha)
+    new_mask = buffers["mask_cache"] & (alpha > cfg.fast_color_thres)
+    return {**buffers, "mask_cache": new_mask}
+
+
+def scale_volume_grid(cfg: Config, params: dict, buffers: dict, num_voxels: int,
+                      mpi_depth: int):
+    """Progressive grid upscaling (/root/reference/lib/dmpigo.py:189-211).
+
+    Returns (new_cfg, new_params, new_buffers). Shapes change, so training
+    re-jits per phase (the reference likewise rebuilds its optimizer).
+    """
+    new_cfg = dataclasses.replace(
+        cfg,
+        num_voxels=int(num_voxels),
+        mpi_depth=int(mpi_depth),
+        world_size=common.dmpigo_grid_resolution(cfg.xyz_min, cfg.xyz_max, num_voxels, mpi_depth),
+        voxel_size_ratio=256.0 / mpi_depth,
+    )
+    new_params = dict(params)
+    new_params["density"] = grid_sample.resize_trilinear(params["density"], new_cfg.world_size)
+    new_params["k0"] = grid_sample.resize_trilinear(params["k0"], new_cfg.world_size)
+
+    new_buffers = dict(buffers)
+    if int(np.prod(new_cfg.world_size)) <= 256**3:
+        xyz = _grid_xyz(new_cfg, new_cfg.world_size)
+        xyz_min, xyz_max = _xyz_minmax(new_cfg)
+        old_mask_at_new = grid_sample.nearest_mask_lookup(
+            buffers["mask_cache"], xyz, xyz_min, xyz_max
+        )
+        dens = new_params["density"] + buffers["act_shift"]  # broadcast over z planes
+        alpha = render.raw2alpha(dens[..., 0], 0.0, new_cfg.voxel_size_ratio)
+        alpha = grid_sample.max_pool3d_same(alpha)
+        new_buffers["mask_cache"] = old_mask_at_new & (alpha > new_cfg.fast_color_thres)
+        new_cfg = dataclasses.replace(new_cfg, mask_cache_world_size=new_cfg.world_size)
+    return new_cfg, new_params, new_buffers
+
+
+def decay_act_shift(buffers: dict, amount: float) -> dict:
+    """act_shift -= amount after each progressive scaling (run.py:475)."""
+    return {**buffers, "act_shift": buffers["act_shift"] - amount}
+
+
+def density_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
+                    n_rays: int, density_grad):
+    """TV gradient for the density grid with the reference's weight scaling
+    (/root/reference/lib/dmpigo.py:248-251): wxy = w*max(XY)/128, wz = w*D/128,
+    passed (wx=wxy, wy=wxy, wz=wz) into the kernel's (Z, Y, X) axis order."""
+    w = weight / n_rays
+    wxy = w * max(cfg.world_size[:2]) / 128.0
+    wz = w * cfg.mpi_depth / 128.0
+    return render.total_variation_grad(
+        params["density"], wxy, wxy, wz, None if dense_mode else density_grad
+    )
+
+
+def k0_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
+               n_rays: int, k0_grad):
+    w = weight / n_rays
+    wxy = w * max(cfg.world_size[:2]) / 128.0
+    wz = w * cfg.mpi_depth / 128.0
+    return render.total_variation_grad(
+        params["k0"], wxy, wxy, wz, None if dense_mode else k0_grad
+    )

@@ -1,0 +1,267 @@
+"""VC-Decoder: SFT-conditioned RRDB super-resolution generator (Flax).
+
+TPU-native rebuild of the reference SFTNet (/root/reference/lib/sr_esrnet.py:400-465):
+``conv_first`` -> 5x RRDB_SFT (each 3x ResidualDenseBlock_SFT + SFT) ->
+sftbody + conv_body residual -> 2x nearest-upsample convs (x4) ->
+conv_hr/conv_last, with a CondNet mapping the conditioning signal
+(depth / viewdir-PE / both) to the 32-channel SFT condition.
+
+Data layout is NHWC (TPU-native); the torch-checkpoint import shim transposes
+the reference's NCHW/OIHW tensors (see :func:`import_realesrnet_torch`).
+
+Tiled 4K inference (the reference's ``tile_process``, lib/sr_esrnet.py:467-527)
+is expressed as a batched scan over same-shape padded tiles --
+:func:`tile_process` -- which XLA pipelines instead of a Python loop of
+kernel launches.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class SFTLayer(nn.Module):
+    """x * (scale+1) + shift, scale/shift from two 1x1-conv branches
+    (reference lib/sr_esrnet.py:112-123)."""
+
+    num_feat: int = 64
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        scale = nn.Conv(self.num_grow_ch, (1, 1), name="scale0")(cond)
+        scale = nn.Conv(self.num_feat, (1, 1), name="scale1")(_lrelu(scale))
+        shift = nn.Conv(self.num_grow_ch, (1, 1), name="shift0")(cond)
+        shift = nn.Conv(self.num_feat, (1, 1), name="shift1")(_lrelu(shift))
+        return x * (scale + 1.0) + shift
+
+
+def _rdb_conv(features, name):
+    # the reference scales kaiming-normal init by 0.1 for dense-block convs
+    # (lib/sr_esrnet.py:78); kaiming_normal over fan_in with relu gain
+    def init(key, shape, dtype):
+        fan_in = shape[0] * shape[1] * shape[2]
+        std = math.sqrt(2.0 / fan_in)
+        return 0.1 * std * jax.random.normal(key, shape, dtype)
+
+    return nn.Conv(features, (3, 3), kernel_init=init, name=name)
+
+
+class ResidualDenseBlockSFT(nn.Module):
+    """Dense block with SFT conditioning at entry and before the fuse conv
+    (reference lib/sr_esrnet.py:126-158)."""
+
+    num_feat: int = 64
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        xc0 = SFTLayer(self.num_feat, self.num_grow_ch, name="sft0")(x, cond)
+        x1 = _lrelu(_rdb_conv(self.num_grow_ch, "conv1")(xc0))
+        x2 = _lrelu(_rdb_conv(self.num_grow_ch, "conv2")(jnp.concatenate([xc0, x1], -1)))
+        x3 = _lrelu(_rdb_conv(self.num_grow_ch, "conv3")(jnp.concatenate([xc0, x1, x2], -1)))
+        x4 = _lrelu(_rdb_conv(self.num_grow_ch, "conv4")(jnp.concatenate([xc0, x1, x2, x3], -1)))
+        xc1 = SFTLayer(self.num_grow_ch, self.num_grow_ch, name="sft1")(x4, cond)
+        x5 = _rdb_conv(self.num_feat, "conv5")(jnp.concatenate([xc0, x1, x2, x3, xc1], -1))
+        return x5 * 0.2 + x
+
+
+class RRDBSFT(nn.Module):
+    """Residual-in-residual: 3 dense blocks + trailing SFT
+    (reference lib/sr_esrnet.py:161-182)."""
+
+    num_feat: int = 64
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        out = ResidualDenseBlockSFT(self.num_feat, self.num_grow_ch, name="rdb1")(x, cond)
+        out = ResidualDenseBlockSFT(self.num_feat, self.num_grow_ch, name="rdb2")(out, cond)
+        out = ResidualDenseBlockSFT(self.num_feat, self.num_grow_ch, name="rdb3")(out, cond)
+        out = SFTLayer(self.num_feat, self.num_grow_ch, name="sft0")(out, cond)
+        return out * 0.2 + x
+
+
+def _nearest_up2(x):
+    n, h, w, c = x.shape
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class SFTNet(nn.Module):
+    """The VC-Decoder. Input NHWC (LR feature/rgb patch) + cond NHWC."""
+
+    n_in_colors: int = 3
+    scale: int = 4
+    num_feat: int = 64
+    num_block: int = 5
+    num_grow_ch: int = 32
+    num_cond: int = 1
+
+    @nn.compact
+    def __call__(self, x, cond):
+        feat = nn.Conv(self.num_feat, (3, 3), name="conv_first")(x)
+        c = nn.Conv(64, (3, 3), name="cond0")(cond)
+        c = nn.Conv(64, (1, 1), name="cond1")(_lrelu(c))
+        c = nn.Conv(64, (1, 1), name="cond2")(_lrelu(c))
+        c = nn.Conv(32, (1, 1), name="cond3")(_lrelu(c))
+
+        body = feat
+        for i in range(self.num_block):
+            body = RRDBSFT(self.num_feat, self.num_grow_ch, name=f"body{i}")(body, c)
+        body = SFTLayer(self.num_feat, self.num_grow_ch, name="sftbody")(body, c)
+        body = nn.Conv(self.num_feat, (3, 3), name="conv_body")(body)
+        body = body + feat
+
+        if self.scale > 1:
+            body = _lrelu(nn.Conv(self.num_feat, (3, 3), name="conv_up1")(_nearest_up2(body)))
+            if self.scale == 4:
+                body = _lrelu(nn.Conv(self.num_feat, (3, 3), name="conv_up2")(_nearest_up2(body)))
+        out = _lrelu(nn.Conv(self.num_feat, (3, 3), name="conv_hr")(body))
+        return nn.Conv(3, (3, 3), name="conv_last")(out)
+
+
+# ---------------------------------------------------------------------------
+# Tiled 4K inference
+# ---------------------------------------------------------------------------
+
+def tile_process(apply_fn, params, img, cond, tile_size: int, tile_pad: int = 10,
+                 scale: int = 4):
+    """Memory-bounded full-frame SR: pad the frame, cut overlapping same-shape
+    tiles, batch them through one compiled forward, paste the unpadded cores.
+
+    Functionally equivalent to the reference's per-tile Python loop
+    (lib/sr_esrnet.py:467-527) but static-shaped: every tile (edge tiles
+    included) is ``tile_size + 2*tile_pad`` square, so one XLA program serves
+    all tiles and the scan pipelines them.
+
+    Args:
+      apply_fn: ``(params, x_tile, cond_tile) -> sr_tile`` (NHWC).
+      img: ``[1, H, W, C]``; cond: ``[1, H, W, Cc]``.
+    """
+    _, H, W, C = img.shape
+    ts, tp = tile_size, tile_pad
+    ny, nx = math.ceil(H / ts), math.ceil(W / ts)
+    padded_h, padded_w = ny * ts + 2 * tp, nx * ts + 2 * tp
+    img_p = jnp.pad(img, ((0, 0), (tp, padded_h - H - tp), (tp, padded_w - W - tp), (0, 0)),
+                    mode="edge")
+    cond_p = jnp.pad(cond, ((0, 0), (tp, padded_h - H - tp), (tp, padded_w - W - tp), (0, 0)),
+                     mode="edge")
+
+    starts = [(y * ts, x * ts) for y in range(ny) for x in range(nx)]
+    tiles = jnp.stack([
+        jax.lax.dynamic_slice(img_p[0], (sy, sx, 0), (ts + 2 * tp, ts + 2 * tp, C))
+        for sy, sx in starts
+    ])
+    cond_tiles = jnp.stack([
+        jax.lax.dynamic_slice(cond_p[0], (sy, sx, 0), (ts + 2 * tp, ts + 2 * tp, cond.shape[-1]))
+        for sy, sx in starts
+    ])
+
+    def one(carry, inp):
+        t, ct = inp
+        sr = apply_fn(params, t[None], ct[None])[0]
+        core = sr[tp * scale:(tp + ts) * scale, tp * scale:(tp + ts) * scale]
+        return carry, core
+
+    _, cores = jax.lax.scan(one, None, (tiles, cond_tiles))
+    # paste cores into the output frame
+    out = np.zeros((H * scale, W * scale, 3), dtype=np.float32)
+    cores = np.asarray(cores)
+    for i, (sy, sx) in enumerate(starts):
+        oy, ox = sy * scale, sx * scale
+        h = min(ts * scale, H * scale - oy)
+        w = min(ts * scale, W * scale - ox)
+        out[oy:oy + h, ox:ox + w] = cores[i][:h, :w]
+    return out[None]
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint import: RealESRNet_x4plus.pth init / reference .pth saves
+# ---------------------------------------------------------------------------
+
+def _t2j_conv(w):
+    """torch OIHW -> flax HWIO."""
+    return np.transpose(np.asarray(w, dtype=np.float32), (2, 3, 1, 0))
+
+
+_SFT_MAP = {"SFT_scale_conv0": "scale0", "SFT_scale_conv1": "scale1",
+            "SFT_shift_conv0": "shift0", "SFT_shift_conv1": "shift1"}
+
+
+def import_sftnet_torch(state_dict, num_block: int = 5) -> dict:
+    """Map a reference SFTNet torch state dict to our Flax param tree.
+
+    Handles both the full SFTNet save and the plain RealESRNet RRDBNet init
+    (whose ``body.N.rdbM.convK`` keys exist but SFT/CondNet keys do not --
+    missing keys are simply absent, mirroring the reference's
+    ``strict=False`` load, lib/sr_esrnet.py:529-554).
+    """
+    import torch  # noqa: F401  (state_dict tensors may be torch tensors)
+
+    def np_(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    params: dict = {}
+
+    def put(path, kernel, bias):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}
+
+    condnet_idx = {0: "cond0", 2: "cond1", 4: "cond2", 6: "cond3"}
+    for k in list(state_dict.keys()):
+        if not k.endswith(".weight"):
+            continue
+        base = k[: -len(".weight")]
+        w = _t2j_conv(np_(state_dict[k]))
+        b = np_(state_dict.get(base + ".bias", np.zeros(w.shape[-1], np.float32)))
+        parts = base.split(".")
+        if parts[0] in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr", "conv_last"):
+            put((parts[0],), w, b)
+        elif parts[0] == "CondNet":
+            put((condnet_idx[int(parts[1])],), w, b)
+        elif parts[0] == "sftbody":
+            put(("sftbody", _SFT_MAP[parts[1]]), w, b)
+        elif parts[0] == "body":
+            blk = f"body{parts[1]}"
+            if parts[2].startswith("rdb"):
+                if parts[3].startswith("conv"):
+                    put((blk, parts[2], parts[3]), w, b)
+                else:  # sft0/sft1 inside the dense block
+                    put((blk, parts[2], parts[3], _SFT_MAP[parts[4]]), w, b)
+            elif parts[2] == "sft0":
+                put((blk, "sft0", _SFT_MAP[parts[3]]), w, b)
+    return params
+
+
+def merge_params(init_params: dict, imported: dict) -> dict:
+    """Overlay imported params onto a freshly-initialized tree (strict=False
+    semantics: missing/mismatched keys keep their init values)."""
+    out = {}
+    for k, v in init_params.items():
+        if k in imported:
+            if isinstance(v, dict) and isinstance(imported[k], dict) and "kernel" not in v:
+                out[k] = merge_params(v, imported[k])
+            else:
+                iv = imported[k]
+                if isinstance(v, dict) and isinstance(iv, dict):
+                    ok = all(
+                        kk in iv and iv[kk].shape == v[kk].shape for kk in v
+                    )
+                    out[k] = {kk: jnp.asarray(iv[kk]) for kk in v} if ok else v
+                else:
+                    out[k] = jnp.asarray(iv) if getattr(iv, "shape", None) == getattr(v, "shape", None) else v
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,126 @@
+"""Trilinear / nearest voxel-grid sampling, TPU-native.
+
+Replaces the reference's cuDNN ``F.grid_sample`` (/root/reference/lib/grid.py:124,
+align_corners=True, zeros padding) and the ``maskcache_lookup`` CUDA kernel
+(/root/reference/lib/cuda/render_utils_kernel.cu:367-424) with gather-based JAX
+that XLA fuses into the surrounding render computation. Grids are stored
+channel-last ``[X, Y, Z, C]`` so the channel dim rides the TPU lane dimension.
+
+Coordinate convention: align_corners=True, i.e. a normalized coordinate
+``u in [0, 1]`` maps to voxel index ``u * (size - 1)``. This matches the
+reference's ``ind_norm = norm01 * 2 - 1`` + grid_sample(align_corners=True).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def world_to_ind01(xyz, xyz_min, xyz_max):
+    """Map world coordinates to [0,1]^3 normalized grid coordinates."""
+    return (xyz - xyz_min) / (xyz_max - xyz_min)
+
+
+def trilinear_sample(grid, ind01):
+    """Trilinearly sample a voxel grid with zeros padding.
+
+    Args:
+      grid: ``[X, Y, Z, C]`` voxel grid.
+      ind01: ``[..., 3]`` normalized coordinates (0..1 inside the grid).
+        Out-of-range queries get zero contribution from out-of-range corners,
+        matching ``F.grid_sample(padding_mode='zeros', align_corners=True)``.
+
+    Returns:
+      ``[..., C]`` interpolated features.
+    """
+    X, Y, Z, C = grid.shape
+    size = jnp.array([X, Y, Z], dtype=ind01.dtype)
+    pos = ind01 * (size - 1)  # align_corners=True
+    batch_shape = pos.shape[:-1]
+    pos = pos.reshape(-1, 3)
+
+    i0 = jnp.floor(pos)
+    frac = pos - i0
+    i0 = i0.astype(jnp.int32)
+
+    flat_grid = grid.reshape(-1, C)
+    out = jnp.zeros((pos.shape[0], C), dtype=grid.dtype)
+    sizes = jnp.array([X, Y, Z], dtype=jnp.int32)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                corner = jnp.array([cx, cy, cz], dtype=jnp.int32)
+                idx = i0 + corner  # [M, 3]
+                valid = jnp.all((idx >= 0) & (idx < sizes), axis=-1)
+                w = jnp.prod(
+                    jnp.where(corner == 1, frac, 1.0 - frac), axis=-1
+                )
+                cidx = jnp.clip(idx, 0, sizes - 1)
+                flat_idx = (cidx[:, 0] * Y + cidx[:, 1]) * Z + cidx[:, 2]
+                vals = jnp.take(flat_grid, flat_idx, axis=0)
+                out = out + jnp.where(valid, w, 0.0)[:, None] * vals
+
+    return out.reshape(*batch_shape, C)
+
+
+def grid_query(grid, xyz, xyz_min, xyz_max):
+    """Query a world-space voxel grid: ``DenseGrid.forward`` equivalent
+    (/root/reference/lib/grid.py:117-128). Returns ``[..., C]`` (``[...]`` when C==1
+    is the caller's concern)."""
+    return trilinear_sample(grid, world_to_ind01(xyz, xyz_min, xyz_max))
+
+
+def nearest_mask_lookup(mask, xyz, xyz_min, xyz_max):
+    """Nearest-neighbor boolean occupancy lookup; False outside the grid.
+
+    Matches ``maskcache_lookup_cuda``: ``ijk = round(xyz * scale + shift)``
+    with ``scale = (shape-1)/(max-min)``, ``shift = -min*scale``
+    (/root/reference/lib/grid.py:290-304, render_utils_kernel.cu:373-392).
+
+    Args:
+      mask: ``[X, Y, Z]`` bool occupancy grid.
+      xyz: ``[..., 3]`` world coordinates.
+    """
+    X, Y, Z = mask.shape
+    sizes = jnp.array([X, Y, Z], dtype=xyz.dtype)
+    scale = (sizes - 1) / (xyz_max - xyz_min)
+    ijk = jnp.round(xyz * scale + (-xyz_min * scale)).astype(jnp.int32)
+    in_range = jnp.all((ijk >= 0) & (ijk < sizes.astype(jnp.int32)), axis=-1)
+    cijk = jnp.clip(ijk, 0, sizes.astype(jnp.int32) - 1)
+    flat_idx = (cijk[..., 0] * Y + cijk[..., 1]) * Z + cijk[..., 2]
+    vals = jnp.take(mask.reshape(-1), flat_idx.reshape(-1), axis=0).reshape(flat_idx.shape)
+    return vals & in_range
+
+
+def resize_trilinear(grid, new_size):
+    """Trilinear align_corners=True resize of ``[X, Y, Z, C]`` to ``new_size``.
+
+    Equivalent to ``F.interpolate(mode='trilinear', align_corners=True)`` used
+    by progressive scaling (/root/reference/lib/grid.py:130-135). ``jax.image.resize``
+    uses half-pixel centers (align_corners=False), so we sample explicitly.
+    """
+    nx, ny, nz = (int(s) for s in new_size)
+    u = [
+        (jnp.arange(n, dtype=grid.dtype) / (n - 1) if n > 1 else jnp.zeros(n, dtype=grid.dtype))
+        for n in (nx, ny, nz)
+    ]
+    gx, gy, gz = jnp.meshgrid(u[0], u[1], u[2], indexing="ij")
+    ind01 = jnp.stack([gx, gy, gz], axis=-1)
+    return trilinear_sample(grid, ind01)
+
+
+def max_pool3d_same(x):
+    """3x3x3 max pool, stride 1, 'same' padding over ``[X, Y, Z]``.
+
+    Equivalent to ``F.max_pool3d(kernel_size=3, padding=1, stride=1)`` used to
+    dilate occupancy before thresholding (/root/reference/lib/dvgo.py:216-232).
+    """
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(3, 3, 3),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )

@@ -1,0 +1,125 @@
+"""MaskedAdam: the reference's sparse-voxel Adam as a functional transform.
+
+Reproduces the three CUDA update kernels
+(/root/reference/lib/cuda/adam_upd_kernel.cu:8-58) exactly:
+
+- plain Adam with ``step_size = lr * sqrt(1-b2^t) / (1-b1^t)`` and
+  ``eps`` added outside the sqrt;
+- masked update: entries with grad == 0 are skipped entirely -- moments
+  included (``skip_zero_grad`` fields, lib/masked_adam.py:64-67);
+- per-voxel lr: the update is scaled element-wise by ``count/count.max()``
+  (``set_pervoxel_lr``, lib/masked_adam.py:35-37).
+
+Param groups follow the reference's convention: top-level keys of the model
+params dict are matched against ``lrate_<key>`` config entries
+(/root/reference/lib/utils.py:21-48). Learning-rate decay is the caller's
+job: the reference multiplies each group lr by ``0.1^(1/(lrate_decay*1000))``
+per step and RESETS both lr and Adam state at every progressive-scaling
+boundary (run.py:465-476,560-563) -- see :func:`group_lr`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+BETA1, BETA2, EPS = 0.9, 0.99, 1e-8  # lib/masked_adam.py:19
+
+
+def init_state(params: Any) -> dict:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return {
+        "exp_avg": zeros,
+        "exp_avg_sq": jax.tree.map(jnp.zeros_like, params),
+        "step": jnp.zeros((), dtype=jnp.int32),
+    }
+
+
+def apply_updates(params: dict, grads: dict, state: dict, lrs: dict,
+                  skip_zero_grad: frozenset = frozenset(),
+                  per_lr: dict | None = None):
+    """One MaskedAdam step over a two-level params dict.
+
+    Args:
+      params/grads: ``{group_name: leaf_or_subdict}``.
+      lrs: ``{group_name: lr}`` (already decayed); groups absent from ``lrs``
+        are frozen (reference: lr<=0 => requires_grad=False).
+      skip_zero_grad: group names using the masked update (static).
+      per_lr: optional ``{group_name: array}`` element-wise lr scaling.
+
+    Returns (new_params, new_state).
+    """
+    step = state["step"] + 1
+    t = step.astype(jnp.float32)
+    bias_correction = jnp.sqrt(1.0 - BETA2**t) / (1.0 - BETA1**t)
+
+    new_params: dict = {}
+    new_m: dict = {}
+    new_v: dict = {}
+    for name, p in params.items():
+        g = grads.get(name)
+        lr = lrs.get(name)
+        if g is None or lr is None:
+            new_params[name] = p
+            new_m[name] = state["exp_avg"][name]
+            new_v[name] = state["exp_avg_sq"][name]
+            continue
+        step_size = lr * bias_correction
+        masked = name in skip_zero_grad
+        plr = per_lr.get(name) if per_lr else None
+
+        def upd(p_leaf, g_leaf, m_leaf, v_leaf, plr_leaf=None):
+            m_new = BETA1 * m_leaf + (1.0 - BETA1) * g_leaf
+            v_new = BETA2 * v_leaf + (1.0 - BETA2) * g_leaf * g_leaf
+            delta = step_size * m_new / (jnp.sqrt(v_new) + EPS)
+            if plr_leaf is not None:
+                delta = delta * plr_leaf
+            if masked:
+                nonzero = g_leaf != 0
+                return (
+                    jnp.where(nonzero, p_leaf - delta, p_leaf),
+                    jnp.where(nonzero, m_new, m_leaf),
+                    jnp.where(nonzero, v_new, v_leaf),
+                )
+            return p_leaf - delta, m_new, v_new
+
+        m = state["exp_avg"][name]
+        v = state["exp_avg_sq"][name]
+        if isinstance(p, dict):
+            flat_p, treedef = jax.tree.flatten(p)
+            flat_g = treedef.flatten_up_to(g)
+            flat_m = treedef.flatten_up_to(m)
+            flat_v = treedef.flatten_up_to(v)
+            outs = [upd(*leafs) for leafs in zip(flat_p, flat_g, flat_m, flat_v)]
+            new_params[name] = jax.tree.unflatten(treedef, [o[0] for o in outs])
+            new_m[name] = jax.tree.unflatten(treedef, [o[1] for o in outs])
+            new_v[name] = jax.tree.unflatten(treedef, [o[2] for o in outs])
+        else:
+            plr_leaf = plr if (plr is not None and plr.shape == p.shape) else None
+            new_params[name], new_m[name], new_v[name] = upd(p, g, m, v, plr_leaf)
+
+    return new_params, {"exp_avg": new_m, "exp_avg_sq": new_v, "step": step}
+
+
+def group_lr(lr0: float, steps_since_reset, lrate_decay: float):
+    """lr after ``steps_since_reset`` optimizer steps (run.py:560-563)."""
+    decay_factor = 0.1 ** (1.0 / (lrate_decay * 1000.0))
+    return lr0 * decay_factor**steps_since_reset
+
+
+def build_group_lrs(cfg_train, params: dict) -> dict:
+    """Base lr per param group via the ``lrate_<name>`` convention
+    (/root/reference/lib/utils.py:26-47). Groups with lr <= 0 are frozen."""
+    lrs = {}
+    for k in cfg_train.keys():
+        if not k.startswith("lrate_"):
+            continue
+        name = k[len("lrate_"):]
+        if name not in params:
+            continue
+        lr = cfg_train[k]
+        if lr and lr > 0:
+            lrs[name] = float(lr)
+    return lrs

@@ -1,0 +1,172 @@
+"""SR-training losses: vanilla GAN loss and VGG19 perceptual/style loss.
+
+Parity targets: basicsr ``GANLoss(gan_type='vanilla')`` and
+``PerceptualLoss(layer_weights={conv3_4:1, conv4_4:1, conv5_4:1},
+vgg_type='vgg19', perceptual_weight, style_weight)`` as wired by the joint
+driver (/root/reference/run_sr.py:670-689). The VGG feature extractor is a
+Flax VGG19 whose pretrained weights import from a torchvision
+``vgg19-*.pth`` state dict when one is available locally (zero-egress
+environments can't download them); without weights the perceptual loss can
+still run on a randomly-initialized tower if explicitly allowed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# GAN loss (vanilla = BCE-with-logits)
+# ---------------------------------------------------------------------------
+
+def gan_loss(pred, target_is_real: bool, *, is_disc: bool, loss_weight: float = 1.0):
+    """basicsr vanilla GANLoss semantics: BCEWithLogits against 1/0; the
+    generator-side loss is scaled by ``loss_weight``, the discriminator side
+    is not."""
+    target = jnp.ones_like(pred) if target_is_real else jnp.zeros_like(pred)
+    # bce-with-logits, numerically stable
+    loss = jnp.mean(
+        jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    )
+    return loss if is_disc else loss_weight * loss
+
+
+# ---------------------------------------------------------------------------
+# VGG19 feature extractor
+# ---------------------------------------------------------------------------
+
+# VGG19 conv plan: (name, out_channels); 'M' = maxpool
+_VGG19_PLAN = [
+    ("conv1_1", 64), ("conv1_2", 64), "M",
+    ("conv2_1", 128), ("conv2_2", 128), "M",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), ("conv3_4", 256), "M",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), ("conv4_4", 512), "M",
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512), ("conv5_4", 512), "M",
+]
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+class VGG19Features(nn.Module):
+    """Runs VGG19 up to the deepest requested layer; returns a dict of
+    activations (pre-pool, post-relu) at the requested layer names."""
+
+    layers: Sequence[str]
+
+    @nn.compact
+    def __call__(self, x):
+        # x in [0,1] NHWC; ImageNet normalization (basicsr use_input_norm)
+        x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        wanted = set(self.layers)
+        out = {}
+        deepest = max(
+            i for i, item in enumerate(_VGG19_PLAN)
+            if isinstance(item, tuple) and item[0] in wanted
+        )
+        for i, item in enumerate(_VGG19_PLAN):
+            if i > deepest:
+                break
+            if item == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            name, ch = item
+            x = nn.relu(nn.Conv(ch, (3, 3), name=name)(x))
+            if name in wanted:
+                out[name] = x
+        return out
+
+
+def import_vgg19_torch(path: str) -> dict:
+    """Convert a torchvision vgg19 ``features``-prefixed state dict to our
+    Flax param tree."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    conv_names = [item[0] for item in _VGG19_PLAN if isinstance(item, tuple)]
+    # torchvision indexes: conv layers at features.{0,2,5,7,10,12,14,16,...}
+    idxs = []
+    i = 0
+    for item in _VGG19_PLAN:
+        if item == "M":
+            i += 1
+            continue
+        idxs.append(i)
+        i += 2  # conv + relu
+    params = {}
+    for name, idx in zip(conv_names, idxs):
+        w = np.asarray(sd[f"features.{idx}.weight"], dtype=np.float32).transpose(2, 3, 1, 0)
+        b = np.asarray(sd[f"features.{idx}.bias"], dtype=np.float32)
+        params[name] = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+    return params
+
+
+def find_vgg19_weights() -> str | None:
+    """Look for a locally cached torchvision vgg19 checkpoint."""
+    candidates = [
+        os.path.expanduser("~/.cache/torch/hub/checkpoints"),
+        "./weights",
+        "./pretrained",
+    ]
+    for d in candidates:
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.startswith("vgg19") and f.endswith(".pth"):
+                    return os.path.join(d, f)
+    return None
+
+
+class PerceptualLoss:
+    """VGG19 perceptual + style loss matching the basicsr configuration used
+    by the reference (run_sr.py:670-678): l1 criterion, layer weights
+    conv3_4/conv4_4/conv5_4 = 1."""
+
+    def __init__(self, layer_weights: dict | None = None, perceptual_weight: float = 1.0,
+                 style_weight: float = 0.0, vgg_params: dict | None = None,
+                 allow_random_vgg: bool = False):
+        self.layer_weights = layer_weights or {"conv3_4": 1.0, "conv4_4": 1.0, "conv5_4": 1.0}
+        self.perceptual_weight = perceptual_weight
+        self.style_weight = style_weight
+        self.model = VGG19Features(layers=tuple(self.layer_weights))
+        if vgg_params is None:
+            path = find_vgg19_weights()
+            if path is not None:
+                vgg_params = import_vgg19_torch(path)
+            elif allow_random_vgg:
+                vgg_params = self.model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+                )["params"]
+            else:
+                raise FileNotFoundError(
+                    "No pretrained VGG19 weights found (zero-egress image). "
+                    "Place a torchvision vgg19 .pth under ~/.cache/torch/hub/"
+                    "checkpoints or ./weights, or pass allow_random_vgg=True."
+                )
+        self.params = vgg_params
+
+    def __call__(self, x, gt):
+        """x, gt: NHWC in [0,1]. Returns (perceptual, style) loss scalars."""
+        fx = self.model.apply({"params": self.params}, x)
+        fg = self.model.apply({"params": self.params}, jax.lax.stop_gradient(gt))
+        percep = 0.0
+        style = 0.0
+        for name, w in self.layer_weights.items():
+            percep += w * jnp.mean(jnp.abs(fx[name] - fg[name]))
+            if self.style_weight > 0:
+                style += w * jnp.mean(jnp.abs(_gram(fx[name]) - _gram(fg[name])))
+        return self.perceptual_weight * percep, self.style_weight * style
+
+
+def _gram(feat):
+    """Gram matrix over NHWC features (basicsr ``_gram_mat``)."""
+    n, h, w, c = feat.shape
+    f = feat.reshape(n, h * w, c)
+    return jnp.einsum("nic,nid->ncd", f, f) / (c * h * w)

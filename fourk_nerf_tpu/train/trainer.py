@@ -1,0 +1,565 @@
+"""Encoder training driver: the TPU-native ``scene_rep_reconstruction``.
+
+Mirrors the structure and semantics of /root/reference/run.py:335-633 --
+coarse->fine direct voxel optimization with progressive grid scaling,
+occupancy-cache renewal, per-voxel lr, TV regularization and MaskedAdam --
+re-architected around jitted phase functions: shapes are static within a
+progressive-scaling phase, so each phase gets one compiled train step; a
+pg_scale boundary re-jits (the reference likewise rebuilds its optimizer
+there, run.py:465-476).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourk_nerf_tpu.models import dmpigo, dvgo
+from fourk_nerf_tpu.ops import rays as ray_ops
+from fourk_nerf_tpu.train import checkpoints, losses, optim
+from fourk_nerf_tpu.utils import metrics
+
+
+# ---------------------------------------------------------------------------
+# bbox estimation (run.py:209-278)
+# ---------------------------------------------------------------------------
+
+def compute_bbox_by_cam_frustrm(cfg, HW, Ks, poses, i_train, near, far):
+    xyz_min = np.full(3, np.inf)
+    xyz_max = -xyz_min
+    for i in i_train:
+        H, W = HW[i]
+        rays_o, rays_d, viewdirs = ray_ops.get_rays_of_a_view(
+            int(H), int(W), Ks[i], poses[i], ndc=cfg.data.ndc,
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+        )
+        if cfg.data.ndc:
+            pts_nf = np.stack([np.asarray(rays_o + rays_d * near), np.asarray(rays_o + rays_d * far)])
+        else:
+            pts_nf = np.stack(
+                [np.asarray(rays_o + viewdirs * near), np.asarray(rays_o + viewdirs * far)]
+            )
+        xyz_min = np.minimum(xyz_min, pts_nf.reshape(-1, 3).min(0))
+        xyz_max = np.maximum(xyz_max, pts_nf.reshape(-1, 3).max(0))
+    return xyz_min, xyz_max
+
+
+def compute_bbox_by_coarse_geo(model_mod, ckpt_path, thres):
+    """Tighten the bbox to voxels whose coarse alpha exceeds ``thres``
+    (run.py:257-278)."""
+    kwargs, params, buffers, *_ = checkpoints.load_checkpoint(ckpt_path)
+    cfg = model_mod.make_config(**kwargs)
+    from fourk_nerf_tpu.ops import render as render_ops
+
+    xyz = np.stack(
+        np.meshgrid(
+            *[np.linspace(cfg.xyz_min[d], cfg.xyz_max[d], cfg.world_size[d]) for d in range(3)],
+            indexing="ij",
+        ),
+        -1,
+    )
+    from fourk_nerf_tpu.ops import grid_sample
+
+    density = grid_sample.grid_query(
+        jnp.asarray(params["density"]), jnp.asarray(xyz, dtype=jnp.float32),
+        jnp.asarray(cfg.xyz_min), jnp.asarray(cfg.xyz_max),
+    )[..., 0]
+    shift = cfg.act_shift if hasattr(cfg, "act_shift") else 0.0
+    alpha = np.asarray(render_ops.raw2alpha(density, shift, cfg.voxel_size_ratio))
+    mask = alpha > thres
+    if not mask.any():
+        # degenerate coarse geometry (e.g. very short runs): keep the full box
+        print("compute_bbox_by_coarse_geo: no voxel above threshold; keeping full bbox")
+        return np.asarray(cfg.xyz_min), np.asarray(cfg.xyz_max)
+    active = xyz[mask]
+    return active.min(0), active.max(0)
+
+
+# ---------------------------------------------------------------------------
+# training-ray gathering (run.py:400-433, lib/dvgo.py:585-758)
+# ---------------------------------------------------------------------------
+
+def gather_training_rays(cfg, cfg_train, data_dict, model_mod=None, model_state=None,
+                         render_kwargs=None):
+    """Returns dict with per-mode ray storage + a host-side batch sampler."""
+    HW, Ks, poses = data_dict["HW"], data_dict["Ks"], data_dict["poses"]
+    i_train = data_dict["i_train"]
+    images = data_dict["images"]
+
+    ray_lists = {"rgb": [], "rays_o": [], "rays_d": [], "viewdirs": []}
+    for i in i_train:
+        H, W = int(HW[i][0]), int(HW[i][1])
+        ro, rd, vd = ray_ops.get_rays_of_a_view(
+            H, W, Ks[i], poses[i], ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
+            flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+        )
+        img = np.asarray(images[i], dtype=np.float32)
+        ray_lists["rgb"].append(img)
+        ray_lists["rays_o"].append(np.asarray(ro))
+        ray_lists["rays_d"].append(np.asarray(rd))
+        ray_lists["viewdirs"].append(np.asarray(vd))
+
+    sampler = cfg_train.ray_sampler
+    if sampler == "in_maskcache":
+        # filter rays by coarse-geometry hits (lib/dvgo.py:643-680)
+        cfg_m, params, buffers = model_state
+        hit_fn = jax.jit(
+            lambda ro, rd: model_mod.hit_coarse_geo(
+                cfg_m, buffers, ro, rd,
+                near=render_kwargs["near"], far=render_kwargs["far"],
+                stepsize=render_kwargs["stepsize"],
+            )
+        )
+        kept = {k: [] for k in ray_lists}
+        for v in range(len(ray_lists["rgb"])):
+            ro = ray_lists["rays_o"][v].reshape(-1, 3)
+            rd = ray_lists["rays_d"][v].reshape(-1, 3)
+            mask_chunks = []
+            for s in range(0, ro.shape[0], 65536):
+                mask_chunks.append(np.asarray(hit_fn(jnp.asarray(ro[s:s + 65536]),
+                                                     jnp.asarray(rd[s:s + 65536]))))
+            mask = np.concatenate(mask_chunks)
+            for k in kept:
+                flat = ray_lists[k][v].reshape(-1, ray_lists[k][v].shape[-1])
+                kept[k].append(flat[mask])
+        flat = {k: np.concatenate(v, 0) for k, v in kept.items()}
+        mode = "flat"
+    elif sampler == "flatten":
+        flat = {k: np.concatenate([a.reshape(-1, a.shape[-1]) for a in v], 0)
+                for k, v in ray_lists.items()}
+        mode = "flat"
+    elif sampler in ("random", "patch_simg", "patch_mimg", "patch_inmask"):
+        flat = {k: np.stack(v, 0) for k, v in ray_lists.items()}  # [V,H,W,3]
+        mode = "image"
+    else:
+        raise NotImplementedError(sampler)
+
+    return flat, mode, ray_lists
+
+
+def make_batch_sampler(sampler: str, flat: dict, n_rand: int, rng: np.random.Generator):
+    """Host-side index generator matching the reference's samplers
+    (lib/dvgo.py:761-819)."""
+    if sampler in ("flatten", "in_maskcache"):
+        n = flat["rgb"].shape[0]
+        perm = rng.permutation(n)
+        top = 0
+
+        def sample():
+            nonlocal perm, top
+            if top + n_rand > n:
+                perm = rng.permutation(n)
+                top = 0
+            idx = perm[top:top + n_rand]
+            top += n_rand
+            return ("flat", idx)
+
+        return sample
+    if sampler == "random":
+        V, H, W = flat["rgb"].shape[:3]
+
+        def sample():
+            return (
+                "pix",
+                (
+                    rng.integers(0, V, n_rand),
+                    rng.integers(0, H, n_rand),
+                    rng.integers(0, W, n_rand),
+                ),
+            )
+
+        return sample
+    raise NotImplementedError(sampler)
+
+
+# ---------------------------------------------------------------------------
+# the jitted train step
+# ---------------------------------------------------------------------------
+
+def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
+                    skip_zero_grad: frozenset):
+    """Build a jitted step fn. Static per phase: model config (shapes),
+    TV-mode flags. Traced: params, opt state, batch, lrs, rng key."""
+
+    weight_tv_density = float(cfg_train.weight_tv_density)
+    weight_tv_k0 = float(cfg_train.weight_tv_k0)
+    rk = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
+    rand_bkgd = bool(render_kwargs.get("rand_bkgd", False))
+
+    @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"))
+    def train_step(params, buffers, opt_state, batch, lrs, per_lr, key, *,
+                   apply_tv: bool, tv_dense: bool):
+        rays_o, rays_d, viewdirs, target = batch
+        n_rays = rays_o.shape[0]
+
+        def loss_fn(p):
+            out = model_mod.forward(
+                model_cfg, p, buffers, rays_o, rays_d, viewdirs,
+                stepsize=rk["stepsize"], near=rk["near"], far=rk["far"],
+                bg=rk["bg"], rand_bkgd=rand_bkgd, is_train=True, key=key,
+            )
+            loss, terms = losses.encoder_losses(out, target, cfg_train, n_rays)
+            return loss, terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        if apply_tv:
+            if weight_tv_density > 0:
+                grads = {**grads, "density": grads["density"] + model_mod.density_tv_grad(
+                    model_cfg, params, weight_tv_density, tv_dense, n_rays, grads["density"]
+                )}
+            if weight_tv_k0 > 0:
+                grads = {**grads, "k0": grads["k0"] + model_mod.k0_tv_grad(
+                    model_cfg, params, weight_tv_k0, tv_dense, n_rays, grads["k0"]
+                )}
+
+        new_params, new_opt_state = optim.apply_updates(
+            params, grads, opt_state, lrs, skip_zero_grad=skip_zero_grad, per_lr=per_lr
+        )
+        psnr = -10.0 * jnp.log10(terms["mse"] / max(cfg_train.weight_main, 1e-12))
+        return new_params, new_opt_state, loss, psnr
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# rendering / eval (run.py:66-171)
+# ---------------------------------------------------------------------------
+
+def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, Ks, *,
+                      cfg, render_kwargs, gt_imgs=None, chunk: int = 8192,
+                      eval_ssim=True, eval_lpips_vgg=False, verbose=True):
+    """Chunked full-frame rendering + metrics. Returns dict of stacked
+    outputs and per-frame metric lists."""
+    rk = dict(render_kwargs)
+    rk.pop("rand_bkgd", None)
+
+    @jax.jit
+    def fwd(ro, rd, vd):
+        out = model_mod.forward(
+            model_cfg, params, buffers, ro, rd, vd,
+            stepsize=rk["stepsize"], near=rk["near"], far=rk["far"], bg=rk["bg"],
+            render_depth=True,
+        )
+        return {k: out[k] for k in ("rgb_marched", "rgb_feature", "depth", "alphainv_last")}
+
+    rgbs, feats, depths, bgmaps = [], [], [], []
+    psnrs, ssims, lpips_vgg, frame_times = [], [], [], []
+    for fi, c2w in enumerate(render_poses):
+        H, W = int(HW[fi][0]), int(HW[fi][1])
+        ro, rd, vd = ray_ops.get_rays_of_a_view(
+            H, W, Ks[fi], c2w[:3, :4], ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
+            flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+        )
+        ro = np.asarray(ro).reshape(-1, 3)
+        rd = np.asarray(rd).reshape(-1, 3)
+        vd = np.asarray(vd).reshape(-1, 3)
+        n = ro.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            ro = np.concatenate([ro, ro[-1:].repeat(pad, 0)], 0)
+            rd = np.concatenate([rd, rd[-1:].repeat(pad, 0)], 0)
+            vd = np.concatenate([vd, vd[-1:].repeat(pad, 0)], 0)
+        t0 = time.time()
+        outs = []
+        for s in range(0, ro.shape[0], chunk):
+            outs.append(fwd(jnp.asarray(ro[s:s + chunk]), jnp.asarray(rd[s:s + chunk]),
+                            jnp.asarray(vd[s:s + chunk])))
+        out = {k: np.concatenate([np.asarray(o[k]) for o in outs], 0)[:n] for k in outs[0]}
+        jax.block_until_ready(outs[-1]["rgb_marched"])
+        frame_times.append(time.time() - t0)
+        rgb = out["rgb_marched"].reshape(H, W, -1)
+        rgbs.append(rgb)
+        feats.append(out["rgb_feature"].reshape(H, W, -1))
+        depths.append(out["depth"].reshape(H, W))
+        bgmaps.append(out["alphainv_last"].reshape(H, W))
+        if gt_imgs is not None:
+            gt = np.asarray(gt_imgs[fi])
+            psnrs.append(metrics.psnr(rgb, gt))
+            if eval_ssim:
+                ssims.append(metrics.rgb_ssim(rgb, gt))
+            if eval_lpips_vgg:
+                lp = metrics.rgb_lpips(gt, rgb, "vgg")
+                if lp is not None:
+                    lpips_vgg.append(lp)
+    if verbose and psnrs:
+        print(f"render_viewpoints: psnr {np.mean(psnrs):.2f}"
+              + (f" ssim {np.mean(ssims):.4f}" if ssims else "")
+              + (f" lpips(vgg) {np.mean(lpips_vgg):.4f}" if lpips_vgg else ""))
+    return {
+        "rgbs": np.stack(rgbs), "rgb_features": np.stack(feats),
+        "depths": np.stack(depths), "bgmaps": np.stack(bgmaps),
+        "psnrs": psnrs, "ssims": ssims, "lpips_vgg": lpips_vgg,
+        "frame_times": frame_times,
+    }
+
+
+# ---------------------------------------------------------------------------
+# scene reconstruction: one stage (coarse or fine)
+# ---------------------------------------------------------------------------
+
+def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
+                             data_dict, stage: str, coarse_ckpt_path: str | None = None,
+                             writer=None):
+    """Train one stage. Returns (model_mod, model_cfg, params, buffers)."""
+    if abs(cfg_model.world_bound_scale - 1) > 1e-9:
+        xyz_shift = (xyz_max - xyz_min) * (cfg_model.world_bound_scale - 1) / 2
+        xyz_min = xyz_min - xyz_shift
+        xyz_max = xyz_max + xyz_shift
+
+    HW, Ks, poses = data_dict["HW"], data_dict["Ks"], data_dict["poses"]
+    near, far = data_dict["near"], data_dict["far"]
+    i_train = data_dict["i_train"]
+    rng = np.random.default_rng(getattr(args, "seed", 777))
+    key = jax.random.PRNGKey(getattr(args, "seed", 777))
+
+    last_ckpt_path = os.path.join(cfg.basedir, cfg.expname, f"{stage}_last.npz")
+
+    # --- model construction / reload (run.py:280-332) -----------------------
+    model_mod = dmpigo if cfg.data.ndc else dvgo
+    model_kwargs = {k: v for k, v in cfg_model.items()}
+    num_voxels = model_kwargs.pop("num_voxels")
+    if len(cfg_train.pg_scale):
+        num_voxels = int(num_voxels / (2 ** len(cfg_train.pg_scale)))
+
+    reload_path = None
+    if not getattr(args, "no_reload", False):
+        if getattr(args, "ft_path", ""):
+            reload_path = args.ft_path
+        elif os.path.isfile(last_ckpt_path):
+            reload_path = last_ckpt_path
+
+    start = 0
+    if reload_path is None:
+        init_mask = None
+        if (not cfg.data.ndc) and coarse_ckpt_path:
+            mask, m_min, m_max = (
+                checkpoints.mask_from_coarse_torch_checkpoint(
+                    coarse_ckpt_path, cfg_model.mask_cache_thres
+                )
+                if coarse_ckpt_path.endswith(".tar")
+                else checkpoints.mask_from_coarse_checkpoint(
+                    coarse_ckpt_path, cfg_model.mask_cache_thres
+                )
+            )
+            # resample the coarse mask onto this stage's grid via nearest lookup
+            from fourk_nerf_tpu.ops import grid_sample as gs
+
+            model_cfg = _make_cfg(model_mod, cfg, xyz_min, xyz_max, num_voxels, model_kwargs)
+            xyz = np.stack(
+                np.meshgrid(
+                    *[np.linspace(model_cfg.xyz_min[d], model_cfg.xyz_max[d],
+                                  model_cfg.mask_cache_world_size[d]) for d in range(3)],
+                    indexing="ij",
+                ), -1,
+            )
+            init_mask = np.asarray(gs.nearest_mask_lookup(
+                jnp.asarray(mask), jnp.asarray(xyz, dtype=jnp.float32),
+                jnp.asarray(m_min, dtype=jnp.float32), jnp.asarray(m_max, dtype=jnp.float32),
+            ))
+        else:
+            model_cfg = _make_cfg(model_mod, cfg, xyz_min, xyz_max, num_voxels, model_kwargs)
+        key, k_init = jax.random.split(key)
+        params, buffers = model_mod.init(model_cfg, k_init, init_mask=init_mask)
+        if cfg_model.maskout_near_cam_vox and not cfg.data.ndc:
+            params = dvgo.maskout_near_cam_vox(
+                model_cfg, params, poses[i_train, :3, 3], near
+            )
+    else:
+        print(f"scene_rep_reconstruction ({stage}): reload from {reload_path}")
+        kwargs_l, params, buffers, opt_state_l, start, _ = checkpoints.load_checkpoint(reload_path)
+        model_cfg = model_mod.make_config(**kwargs_l)
+
+    render_kwargs = {
+        "near": float(near), "far": float(far),
+        "bg": 1.0 if cfg.data.white_bkgd else 0.0,
+        "rand_bkgd": bool(cfg.data.rand_bkgd),
+        "stepsize": float(cfg_model.stepsize),
+    }
+
+    # --- rays + sampler -----------------------------------------------------
+    flat, mode, ray_lists = gather_training_rays(
+        cfg, cfg_train, data_dict,
+        model_mod=model_mod, model_state=(model_cfg, params, buffers),
+        render_kwargs=render_kwargs,
+    )
+    sample_batch = make_batch_sampler(cfg_train.ray_sampler, flat, cfg_train.N_rand, rng)
+
+    dev_flat = {k: jnp.asarray(v) for k, v in flat.items()}
+
+    # --- per-voxel lr (run.py:438-446) -------------------------------------
+    per_lr = None
+    if cfg_train.pervoxel_lr:
+        cnt = dvgo.voxel_count_views(
+            model_cfg, ray_lists["rays_o"], ray_lists["rays_d"], None, near, far,
+            cfg_model.stepsize, downrate=cfg_train.pervoxel_lr_downrate,
+        )
+        per_lr = {"density": cnt / jnp.maximum(cnt.max(), 1.0)}
+        mask = np.asarray(buffers["mask_cache"])
+        cnt_np = np.asarray(cnt)[..., 0]
+        if cnt_np.shape == mask.shape:
+            mask = mask & ~(cnt_np <= 2)
+            buffers = {**buffers, "mask_cache": jnp.asarray(mask)}
+
+    # --- optimizer + jitted step -------------------------------------------
+    base_lrs = optim.build_group_lrs(cfg_train, params)
+    skip_zero = frozenset(cfg_train.skip_zero_grad_fields)
+    opt_state = optim.init_state({k: params[k] for k in params})
+    train_step = make_train_step(
+        model_mod, model_cfg, cfg_train, render_kwargs=render_kwargs,
+        skip_zero_grad=skip_zero,
+    )
+
+    steps_since_reset = start
+    psnr_hist: list[float] = []
+    best_val_psnr = -1.0
+    time0 = time.time()
+
+    gather_flat = jax.jit(lambda d, idx: tuple(d[k][idx] for k in ("rays_o", "rays_d", "viewdirs", "rgb")))
+    gather_pix = jax.jit(
+        lambda d, b, r, c: tuple(d[k][b, r, c] for k in ("rays_o", "rays_d", "viewdirs", "rgb"))
+    )
+
+    for global_step in range(1 + start, 1 + cfg_train.N_iters):
+        # occupancy renewal (run.py:461-462)
+        if (global_step + 500) % 1000 == 0:
+            buffers = model_mod.update_occupancy_cache(model_cfg, params, buffers)
+
+        # progressive scaling (run.py:465-476)
+        if global_step in cfg_train.pg_scale:
+            n_rest = len(cfg_train.pg_scale) - cfg_train.pg_scale.index(global_step) - 1
+            cur_voxels = int(cfg_model.num_voxels / (2**n_rest))
+            if model_mod is dmpigo:
+                model_cfg, params, buffers = dmpigo.scale_volume_grid(
+                    model_cfg, params, buffers, cur_voxels, model_cfg.mpi_depth
+                )
+                buffers = dmpigo.decay_act_shift(buffers, cfg_train.decay_after_scale)
+            else:
+                model_cfg, params, buffers = dvgo.scale_volume_grid(
+                    model_cfg, params, buffers, cur_voxels
+                )
+            opt_state = optim.init_state({k: params[k] for k in params})
+            steps_since_reset = 0
+            train_step = make_train_step(
+                model_mod, model_cfg, cfg_train, render_kwargs=render_kwargs,
+                skip_zero_grad=skip_zero,
+            )
+
+        # batch (run.py:479-506)
+        kind, sel = sample_batch()
+        if kind == "flat":
+            rays_o, rays_d, viewdirs, target = gather_flat(dev_flat, jnp.asarray(sel))
+        else:
+            b, r, c = sel
+            rays_o, rays_d, viewdirs, target = gather_pix(
+                dev_flat, jnp.asarray(b), jnp.asarray(r), jnp.asarray(c)
+            )
+
+        lrs = {
+            k: optim.group_lr(v, steps_since_reset, cfg_train.lrate_decay)
+            for k, v in base_lrs.items()
+        }
+        key, k_step = jax.random.split(key)
+        apply_tv = (
+            global_step < cfg_train.tv_before
+            and global_step > cfg_train.tv_after
+            and global_step % cfg_train.tv_every == 0
+        )
+        params, opt_state, loss, psnr = train_step(
+            params, buffers, opt_state, (rays_o, rays_d, viewdirs, target), lrs, per_lr,
+            k_step, apply_tv=bool(apply_tv), tv_dense=bool(global_step < cfg_train.tv_dense_before),
+        )
+        steps_since_reset += 1
+        psnr_hist.append(float(psnr))
+
+        if global_step % args.i_print == 0:
+            eps = time.time() - time0
+            print(
+                f"scene_rep_reconstruction ({stage}): iter {global_step:6d} / "
+                f"Loss: {float(loss):.9f} / PSNR: {np.mean(psnr_hist):5.2f} / "
+                f"Eps: {eps:.0f}s"
+            )
+            if writer is not None:
+                writer.scalar("train/loss", float(loss), global_step)
+                writer.scalar("train/psnr", float(np.mean(psnr_hist)), global_step)
+            psnr_hist = []
+
+        if args.i_val and global_step % args.i_val == 0 and len(data_dict["i_val"]):
+            res = render_viewpoints(
+                model_mod, model_cfg, params, buffers,
+                poses[data_dict["i_val"]], HW[data_dict["i_val"]], Ks[data_dict["i_val"]],
+                cfg=cfg, render_kwargs=render_kwargs,
+                gt_imgs=[np.asarray(data_dict["images"][i]) for i in data_dict["i_val"]],
+            )
+            val_psnr = float(np.mean(res["psnrs"]))
+            if writer is not None:
+                writer.scalar("val/psnr", val_psnr, global_step)
+                if res["ssims"]:
+                    writer.scalar("val/ssim", float(np.mean(res["ssims"])), global_step)
+            if val_psnr > best_val_psnr:
+                best_val_psnr = val_psnr
+                checkpoints.save_checkpoint(
+                    os.path.join(cfg.basedir, cfg.expname, "best_psnr.npz"),
+                    model_mod.get_kwargs(model_cfg), params, buffers,
+                    global_step=global_step,
+                )
+
+        if args.i_weights and global_step % args.i_weights == 0:
+            checkpoints.save_checkpoint(
+                os.path.join(cfg.basedir, cfg.expname, f"{stage}_{global_step:06d}.npz"),
+                model_mod.get_kwargs(model_cfg), params, buffers, opt_state, global_step,
+            )
+
+    if cfg_train.N_iters > 0:
+        checkpoints.save_checkpoint(
+            last_ckpt_path, model_mod.get_kwargs(model_cfg), params, buffers,
+            opt_state, cfg_train.N_iters,
+        )
+        print(f"scene_rep_reconstruction ({stage}): saved checkpoint at {last_ckpt_path}")
+
+    return model_mod, model_cfg, params, buffers
+
+
+def _make_cfg(model_mod, cfg, xyz_min, xyz_max, num_voxels, model_kwargs):
+    kw = dict(model_kwargs)
+    if model_mod is dmpigo:
+        return dmpigo.make_config(
+            xyz_min=xyz_min, xyz_max=xyz_max, num_voxels=num_voxels,
+            mpi_depth=kw.pop("mpi_depth"), **kw,
+        )
+    kw.pop("mpi_depth", None)
+    return dvgo.make_config(
+        xyz_min=xyz_min, xyz_max=xyz_max, num_voxels=num_voxels,
+        num_voxels_base=kw.pop("num_voxels_base"), alpha_init=kw.pop("alpha_init"), **kw,
+    )
+
+
+def train(args, cfg, data_dict, writer=None):
+    """Full coarse->fine pipeline (run.py:636-685)."""
+    os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
+    xyz_min, xyz_max = compute_bbox_by_cam_frustrm(
+        cfg, data_dict["HW"], data_dict["Ks"], data_dict["poses"], data_dict["i_train"],
+        data_dict["near"], data_dict["far"],
+    )
+    coarse_ckpt_path = None
+    if cfg.coarse_train.N_iters > 0:
+        scene_rep_reconstruction(
+            args, cfg, cfg.coarse_model_and_render, cfg.coarse_train,
+            xyz_min, xyz_max, data_dict, stage="coarse", writer=writer,
+        )
+        coarse_ckpt_path = os.path.join(cfg.basedir, cfg.expname, "coarse_last.npz")
+        model_mod = dmpigo if cfg.data.ndc else dvgo
+        xyz_min, xyz_max = compute_bbox_by_coarse_geo(
+            model_mod, coarse_ckpt_path, cfg.fine_model_and_render.bbox_thres
+        )
+    return scene_rep_reconstruction(
+        args, cfg, cfg.fine_model_and_render, cfg.fine_train,
+        xyz_min, xyz_max, data_dict, stage="fine",
+        coarse_ckpt_path=coarse_ckpt_path, writer=writer,
+    )
