@@ -101,6 +101,18 @@ def load_data(args) -> dict:
         hemi_r = float(np.mean(np.linalg.norm(poses[:, :3, -1], axis=-1)))
         near, far = hemi_r - 1, hemi_r + 1
 
+    elif args.dataset_type == "co3d":
+        from fourk_nerf_tpu.data import co3d
+
+        images, masks, poses, render_poses, hwf, K, i_split = co3d.load_co3d_data(args)
+        i_train, i_val, i_test = i_split
+        near, far = inward_nearfar_heuristic(poses[i_train, :3, 3], ratio=0)
+        for i in range(len(images)):
+            if args.white_bkgd:
+                images[i] = images[i] * masks[i][..., None] + (1.0 - masks[i][..., None])
+            else:
+                images[i] = images[i] * masks[i][..., None]
+
     elif args.dataset_type == "nerfpp":
         from fourk_nerf_tpu.data import nerfpp
 

@@ -100,6 +100,62 @@ def mpi_act_shift(mpi_depth: int, voxel_size_ratio: float) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Grid-type dispatch (DenseGrid | TensoRFGrid), mirroring create_grid
+# (/root/reference/lib/grid.py:27-35). Grid params are either a raw
+# channel-last array (dense) or a TensoRF factor pytree.
+# ---------------------------------------------------------------------------
+
+def grid_init(grid_type: str, key: jax.Array, channels: int, world_size,
+              config: tuple = ()):
+    if grid_type == "DenseGrid":
+        X, Y, Z = world_size
+        return jnp.zeros((X, Y, Z, channels), dtype=jnp.float32)
+    if grid_type == "TensoRFGrid":
+        from fourk_nerf_tpu.ops import tensorf
+
+        cfgd = dict(config)
+        return tensorf.init_tensorf(
+            key, channels, world_size, n_comp=cfgd["n_comp"],
+            n_comp_xy=cfgd.get("n_comp_xy"),
+        )
+    raise NotImplementedError(grid_type)
+
+
+def grid_query(grid_type: str, gparams, ind01):
+    if grid_type == "DenseGrid":
+        from fourk_nerf_tpu.ops import grid_sample
+
+        return grid_sample.trilinear_sample(gparams, ind01)
+    if grid_type == "TensoRFGrid":
+        from fourk_nerf_tpu.ops import tensorf
+
+        return tensorf.tensorf_query(gparams, ind01)
+    raise NotImplementedError(grid_type)
+
+
+def grid_resize(grid_type: str, gparams, new_size):
+    if grid_type == "DenseGrid":
+        from fourk_nerf_tpu.ops import grid_sample
+
+        return grid_sample.resize_trilinear(gparams, new_size)
+    if grid_type == "TensoRFGrid":
+        from fourk_nerf_tpu.ops import tensorf
+
+        return tensorf.tensorf_resize(gparams, new_size)
+    raise NotImplementedError(grid_type)
+
+
+def grid_dense(grid_type: str, gparams, channels: int):
+    if grid_type == "DenseGrid":
+        return gparams
+    if grid_type == "TensoRFGrid":
+        from fourk_nerf_tpu.ops import tensorf
+
+        return tensorf.tensorf_dense(gparams, channels)
+    raise NotImplementedError(grid_type)
+
+
+# ---------------------------------------------------------------------------
 # Pytree (de)serialization helpers for checkpoints
 # ---------------------------------------------------------------------------
 

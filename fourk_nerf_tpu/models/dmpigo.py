@@ -38,6 +38,8 @@ class Config:
     mask_cache_path: str | None = None
     density_type: str = "DenseGrid"
     k0_type: str = "DenseGrid"
+    density_config: tuple = ()  # hashable dict items, e.g. (("n_comp", 8),)
+    k0_config: tuple = ()
     rgbnet_dim: int = 0
     rgbnet_depth: int = 3
     rgbnet_width: int = 128
@@ -71,6 +73,9 @@ def make_config(xyz_min, xyz_max, num_voxels, mpi_depth, mask_cache_world_size=N
     derived = {"xyz_min", "xyz_max", "num_voxels", "mpi_depth", "world_size",
                "mask_cache_world_size", "voxel_size_ratio"}
     extra = {k: v for k, v in kwargs.items() if k in known - derived}
+    for gk in ("density_config", "k0_config"):
+        if isinstance(extra.get(gk), dict):
+            extra[gk] = tuple(sorted(extra[gk].items()))
     return Config(
         xyz_min=tuple(float(v) for v in np.asarray(xyz_min)),
         xyz_max=tuple(float(v) for v in np.asarray(xyz_max)),
@@ -97,8 +102,8 @@ def get_kwargs(cfg: Config) -> dict:
         "fast_color_thres": cfg.fast_color_thres,
         "density_type": cfg.density_type,
         "k0_type": cfg.k0_type,
-        "density_config": {},
-        "k0_config": {},
+        "density_config": dict(cfg.density_config),
+        "k0_config": dict(cfg.k0_config),
         "mode_type": cfg.mode_type,
         "act_type": cfg.act_type,
         "dim_rend": cfg.dim_rend,
@@ -117,10 +122,10 @@ def init(cfg: Config, key: jax.Array, init_mask: np.ndarray | None = None):
     buffers: act_shift ``[1,1,D,1]`` (per-plane bias, lib/dmpigo.py:48-58) and
     mask_cache bool grid.
     """
-    X, Y, Z = cfg.world_size
+    key, kd, kk = jax.random.split(key, 3)
     params: dict = {
-        "density": jnp.zeros((X, Y, Z, 1), dtype=jnp.float32),
-        "k0": jnp.zeros((X, Y, Z, cfg.k0_dim), dtype=jnp.float32),
+        "density": common.grid_init(cfg.density_type, kd, 1, cfg.world_size, cfg.density_config),
+        "k0": common.grid_init(cfg.k0_type, kk, cfg.k0_dim, cfg.world_size, cfg.k0_config),
     }
     if cfg.rgbnet_dim > 0:
         dims = [cfg.dim0] + [cfg.rgbnet_width] * (cfg.rgbnet_depth - 1) + [cfg.dim_rend]
@@ -169,7 +174,7 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
 
     # --- density -> alpha (+ per-plane act_shift), alpha threshold ----------
     ind01 = grid_sample.world_to_ind01(pts, xyz_min, xyz_max)
-    density = grid_sample.trilinear_sample(params["density"], ind01)[..., 0]
+    density = common.grid_query(cfg.density_type, params["density"], ind01)[..., 0]
     act_shift = grid_sample.trilinear_sample(buffers["act_shift"], ind01)[..., 0]
     alpha = render.raw2alpha(density + act_shift, 0.0, interval)
     if cfg.fast_color_thres > 0:
@@ -181,7 +186,7 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
         weights = jnp.where(weights > cfg.fast_color_thres, weights, 0.0)
 
     # --- color --------------------------------------------------------------
-    vox_emb = grid_sample.trilinear_sample(params["k0"], ind01)  # [N,K,C]
+    vox_emb = common.grid_query(cfg.k0_type, params["k0"], ind01)  # [N,K,C]
     if cfg.rgbnet_dim <= 0:
         rgb_raw = jax.nn.sigmoid(vox_emb)
     else:
@@ -244,7 +249,8 @@ def update_occupancy_cache(cfg: Config, params: dict, buffers: dict) -> dict:
     WITHOUT act_shift here -- reproduced)."""
     xyz = _grid_xyz(cfg, buffers["mask_cache"].shape)
     xyz_min, xyz_max = _xyz_minmax(cfg)
-    density = grid_sample.grid_query(params["density"], xyz, xyz_min, xyz_max)[..., 0]
+    ind01 = grid_sample.world_to_ind01(xyz, xyz_min, xyz_max)
+    density = common.grid_query(cfg.density_type, params["density"], ind01)[..., 0]
     alpha = render.raw2alpha(density, 0.0, cfg.voxel_size_ratio)
     alpha = grid_sample.max_pool3d_same(alpha)
     new_mask = buffers["mask_cache"] & (alpha > cfg.fast_color_thres)
@@ -266,8 +272,8 @@ def scale_volume_grid(cfg: Config, params: dict, buffers: dict, num_voxels: int,
         voxel_size_ratio=256.0 / mpi_depth,
     )
     new_params = dict(params)
-    new_params["density"] = grid_sample.resize_trilinear(params["density"], new_cfg.world_size)
-    new_params["k0"] = grid_sample.resize_trilinear(params["k0"], new_cfg.world_size)
+    new_params["density"] = common.grid_resize(cfg.density_type, params["density"], new_cfg.world_size)
+    new_params["k0"] = common.grid_resize(cfg.k0_type, params["k0"], new_cfg.world_size)
 
     new_buffers = dict(buffers)
     if int(np.prod(new_cfg.world_size)) <= 256**3:
@@ -276,7 +282,8 @@ def scale_volume_grid(cfg: Config, params: dict, buffers: dict, num_voxels: int,
         old_mask_at_new = grid_sample.nearest_mask_lookup(
             buffers["mask_cache"], xyz, xyz_min, xyz_max
         )
-        dens = new_params["density"] + buffers["act_shift"]  # broadcast over z planes
+        dense_density = common.grid_dense(cfg.density_type, new_params["density"], 1)
+        dens = dense_density + buffers["act_shift"]  # broadcast over z planes
         alpha = render.raw2alpha(dens[..., 0], 0.0, new_cfg.voxel_size_ratio)
         alpha = grid_sample.max_pool3d_same(alpha)
         new_buffers["mask_cache"] = old_mask_at_new & (alpha > new_cfg.fast_color_thres)
@@ -289,6 +296,14 @@ def decay_act_shift(buffers: dict, amount: float) -> dict:
     return {**buffers, "act_shift": buffers["act_shift"] - amount}
 
 
+def _tv_dispatch(grid_type, gparams, wx, wy, wz, sparse_grad):
+    if grid_type == "DenseGrid":
+        return render.total_variation_grad(gparams, wx, wy, wz, sparse_grad)
+    from fourk_nerf_tpu.ops import tensorf
+
+    return jax.grad(lambda p: tensorf.tensorf_tv_loss(p, wx, wy, wz))(gparams)
+
+
 def density_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
                     n_rays: int, density_grad):
     """TV gradient for the density grid with the reference's weight scaling
@@ -297,9 +312,8 @@ def density_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
     w = weight / n_rays
     wxy = w * max(cfg.world_size[:2]) / 128.0
     wz = w * cfg.mpi_depth / 128.0
-    return render.total_variation_grad(
-        params["density"], wxy, wxy, wz, None if dense_mode else density_grad
-    )
+    return _tv_dispatch(cfg.density_type, params["density"], wxy, wxy, wz,
+                        None if dense_mode else density_grad)
 
 
 def k0_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
@@ -307,6 +321,5 @@ def k0_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
     w = weight / n_rays
     wxy = w * max(cfg.world_size[:2]) / 128.0
     wz = w * cfg.mpi_depth / 128.0
-    return render.total_variation_grad(
-        params["k0"], wxy, wxy, wz, None if dense_mode else k0_grad
-    )
+    return _tv_dispatch(cfg.k0_type, params["k0"], wxy, wxy, wz,
+                        None if dense_mode else k0_grad)

@@ -38,6 +38,8 @@ class Config:
     mask_cache_path: str | None = None
     density_type: str = "DenseGrid"
     k0_type: str = "DenseGrid"
+    density_config: tuple = ()
+    k0_config: tuple = ()
     rgbnet_dim: int = 0
     rgbnet_direct: bool = False
     rgbnet_full_implicit: bool = False
@@ -88,7 +90,13 @@ def make_config(xyz_min, xyz_max, num_voxels, num_voxels_base, alpha_init,
     if mask_cache_world_size is None:
         mask_cache_world_size = world_size
     known = {f.name for f in dataclasses.fields(Config)}
-    extra = {k: v for k, v in kwargs.items() if k in known}
+    derived = {"xyz_min", "xyz_max", "num_voxels", "num_voxels_base", "world_size",
+               "mask_cache_world_size", "voxel_size", "voxel_size_base",
+               "alpha_init", "voxel_size_ratio"}
+    extra = {k: v for k, v in kwargs.items() if k in known - derived}
+    for gk in ("density_config", "k0_config"):
+        if isinstance(extra.get(gk), dict):
+            extra[gk] = tuple(sorted(extra[gk].items()))
     return Config(
         xyz_min=tuple(float(v) for v in np.asarray(xyz_min)),
         xyz_max=tuple(float(v) for v in np.asarray(xyz_max)),
@@ -118,8 +126,8 @@ def get_kwargs(cfg: Config) -> dict:
         "fast_color_thres": cfg.fast_color_thres,
         "density_type": cfg.density_type,
         "k0_type": cfg.k0_type,
-        "density_config": {},
-        "k0_config": {},
+        "density_config": dict(cfg.density_config),
+        "k0_config": dict(cfg.k0_config),
         "mode_type": cfg.mode_type,
         "act_type": cfg.act_type,
         "dim_rend": cfg.dim_rend,
@@ -133,10 +141,10 @@ def get_kwargs(cfg: Config) -> dict:
 
 
 def init(cfg: Config, key: jax.Array, init_mask: np.ndarray | None = None):
-    X, Y, Z = cfg.world_size
+    key, kd, kk = jax.random.split(key, 3)
     params: dict = {
-        "density": jnp.zeros((X, Y, Z, 1), dtype=jnp.float32),
-        "k0": jnp.zeros((X, Y, Z, cfg.k0_dim), dtype=jnp.float32),
+        "density": common.grid_init(cfg.density_type, kd, 1, cfg.world_size, cfg.density_config),
+        "k0": common.grid_init(cfg.k0_type, kk, cfg.k0_dim, cfg.world_size, cfg.k0_config),
     }
     if cfg.rgbnet_dim > 0:
         dims = [cfg.dim0] + [cfg.rgbnet_width] * (cfg.rgbnet_depth - 1) + [3]
@@ -181,7 +189,7 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
     valid &= grid_sample.nearest_mask_lookup(buffers["mask_cache"], pts, xyz_min, xyz_max)
 
     ind01 = grid_sample.world_to_ind01(pts, xyz_min, xyz_max)
-    density = grid_sample.trilinear_sample(params["density"], ind01)[..., 0]
+    density = common.grid_query(cfg.density_type, params["density"], ind01)[..., 0]
     alpha = render.raw2alpha(density, cfg.act_shift, interval)
     if cfg.fast_color_thres > 0:
         valid &= alpha > cfg.fast_color_thres
@@ -193,7 +201,7 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
     if cfg.rgbnet_full_implicit:
         k0 = None
     else:
-        k0 = grid_sample.trilinear_sample(params["k0"], ind01)  # [N,K,C]
+        k0 = common.grid_query(cfg.k0_type, params["k0"], ind01)  # [N,K,C]
 
     if cfg.rgbnet_dim <= 0:
         rgb_raw = jax.nn.sigmoid(k0)
@@ -272,7 +280,8 @@ def update_occupancy_cache(cfg: Config, params: dict, buffers: dict) -> dict:
     """(/root/reference/lib/dvgo.py:223-233)"""
     xyz = _grid_xyz(cfg, buffers["mask_cache"].shape)
     xyz_min, xyz_max = _xyz_minmax(cfg)
-    density = grid_sample.grid_query(params["density"], xyz, xyz_min, xyz_max)[..., 0]
+    ind01 = grid_sample.world_to_ind01(xyz, xyz_min, xyz_max)
+    density = common.grid_query(cfg.density_type, params["density"], ind01)[..., 0]
     alpha = render.raw2alpha(density, cfg.act_shift, cfg.voxel_size_ratio)
     alpha = grid_sample.max_pool3d_same(alpha)
     return {**buffers, "mask_cache": buffers["mask_cache"] & (alpha > cfg.fast_color_thres)}
@@ -285,8 +294,8 @@ def scale_volume_grid(cfg: Config, params: dict, buffers: dict, num_voxels: int)
         cfg, num_voxels=int(num_voxels), world_size=tuple(world_size), voxel_size=voxel_size
     )
     new_params = dict(params)
-    new_params["density"] = grid_sample.resize_trilinear(params["density"], world_size)
-    new_params["k0"] = grid_sample.resize_trilinear(params["k0"], world_size)
+    new_params["density"] = common.grid_resize(cfg.density_type, params["density"], world_size)
+    new_params["k0"] = common.grid_resize(cfg.k0_type, params["k0"], world_size)
 
     new_buffers = dict(buffers)
     if int(np.prod(world_size)) <= 256**3:
@@ -295,8 +304,9 @@ def scale_volume_grid(cfg: Config, params: dict, buffers: dict, num_voxels: int)
         old_mask_at_new = grid_sample.nearest_mask_lookup(
             buffers["mask_cache"], xyz, xyz_min, xyz_max
         )
+        dense_density = common.grid_dense(cfg.density_type, new_params["density"], 1)
         alpha = render.raw2alpha(
-            new_params["density"][..., 0], new_cfg.act_shift, new_cfg.voxel_size_ratio
+            dense_density[..., 0], new_cfg.act_shift, new_cfg.voxel_size_ratio
         )
         alpha = grid_sample.max_pool3d_same(alpha)
         new_buffers["mask_cache"] = old_mask_at_new & (alpha > new_cfg.fast_color_thres)
@@ -335,16 +345,22 @@ def voxel_count_views(cfg: Config, rays_o_all, rays_d_all, imsz, near, far,
     return count
 
 
+def _tv_dispatch(grid_type, gparams, w, sparse_grad):
+    if grid_type == "DenseGrid":
+        return render.total_variation_grad(gparams, w, w, w, sparse_grad)
+    from fourk_nerf_tpu.ops import tensorf
+
+    return jax.grad(lambda p: tensorf.tensorf_tv_loss(p, w, w, w))(gparams)
+
+
 def density_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
                     n_rays: int, density_grad):
     """(/root/reference/lib/dvgo.py:268-270): w = weight*max(world)/128, equal axes."""
     w = weight / n_rays * max(cfg.world_size) / 128.0
-    return render.total_variation_grad(
-        params["density"], w, w, w, None if dense_mode else density_grad
-    )
+    return _tv_dispatch(cfg.density_type, params["density"], w, None if dense_mode else density_grad)
 
 
 def k0_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
                n_rays: int, k0_grad):
     w = weight / n_rays * max(cfg.world_size) / 128.0
-    return render.total_variation_grad(params["k0"], w, w, w, None if dense_mode else k0_grad)
+    return _tv_dispatch(cfg.k0_type, params["k0"], w, None if dense_mode else k0_grad)

@@ -31,7 +31,16 @@ def rgbper(raw_rgb, weights, target, n_rays: int):
     return jnp.sum(rgbper_term * jax.lax.stop_gradient(weights)) / n_rays
 
 
-def encoder_losses(result: dict, target, cfg_train, n_rays: int):
+def nearclip_loss(raw_density, t, near_thres: float):
+    """Zero-valued gradient penalty pushing near-camera density down
+    (run.py:528-534): sum of (density - stop_grad(density)) over samples
+    closer than ``near_thres``."""
+    mask = t < near_thres
+    d = jnp.where(mask, raw_density, 0.0)
+    return jnp.sum(d - jax.lax.stop_gradient(d))
+
+
+def encoder_losses(result: dict, target, cfg_train, n_rays: int, near_thres=None):
     """Total loss + per-term dict for one encoder training step."""
     terms = {}
     loss = cfg_train.weight_main * photometric_mse(result["rgb_marched"], target)
@@ -40,6 +49,10 @@ def encoder_losses(result: dict, target, cfg_train, n_rays: int):
         ent = entropy_last_loss(result["alphainv_last"])
         terms["entropy_last"] = ent
         loss = loss + cfg_train.weight_entropy_last * ent
+    if getattr(cfg_train, "weight_nearclip", 0) > 0 and near_thres is not None:
+        ncl = nearclip_loss(result["raw_density"], result["t"], near_thres)
+        terms["nearclip"] = ncl
+        loss = loss + cfg_train.weight_nearclip * ncl
     if cfg_train.weight_distortion > 0:
         ld = render.distortion_loss(
             result["weights"], result["s"], 1.0 / result["n_max"], n_rays

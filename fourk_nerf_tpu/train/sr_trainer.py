@@ -1,0 +1,543 @@
+"""Joint VC-Encoder + VC-Decoder training: the TPU-native
+``scene_rep_reconstruction_sr_patch`` (/root/reference/run_sr.py:626-1179).
+
+One jitted step renders an aligned low-res patch with the voxel encoder,
+pushes the patch through the SFT-conditioned SR generator, and backprops the
+combined loss (LR L1 + SR L1 + perceptual/style + GAN-G + entropy +
+distortion + rgbper + TV) *through the SR network into the voxel grids* --
+the joint optimization that defines 4K-NeRF -- then runs the discriminator
+step on the same patch. Three optimizers (encoder MaskedAdam groups, srnet,
+discriminator) share the reference's exponential lr decay.
+
+Patch sampling deviates from the reference in one TPU-motivated way: the
+reference partitions each image into 64x64 patches plus ragged edge
+remainders (lib/dvgo.py:822-878), which would retrace per shape; we sample
+full-size patches at grid-aligned origins clamped to the border, covering
+every pixel with a single static shape.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourk_nerf_tpu.models import dmpigo, dvgo, sr_esrnet, sr_unetdisc
+from fourk_nerf_tpu.ops import rays as ray_ops
+from fourk_nerf_tpu.train import checkpoints, losses, optim, sr_losses, trainer
+from fourk_nerf_tpu.utils import metrics
+
+
+# ---------------------------------------------------------------------------
+# aligned LR/HR patch sampling
+# ---------------------------------------------------------------------------
+
+def make_patch_sampler(n_views: int, H: int, W: int, patch: int, rng: np.random.Generator):
+    """Yields (view, row0, col0): grid-aligned patch origins, border-clamped,
+    shuffled over (view x patch-position) like mimg_patch_indices_generator."""
+    rows = sorted({min(r, H - patch) for r in range(0, H, patch)})
+    cols = sorted({min(c, W - patch) for c in range(0, W, patch)})
+    combos = [(v, r, c) for v in range(n_views) for r in rows for c in cols]
+    order = rng.permutation(len(combos))
+    top = 0
+
+    def sample():
+        nonlocal order, top
+        if top >= len(combos):
+            order = rng.permutation(len(combos))
+            top = 0
+        out = combos[order[top]]
+        top += 1
+        return out
+
+    return sample
+
+
+# ---------------------------------------------------------------------------
+# the jitted joint G + D step
+# ---------------------------------------------------------------------------
+
+def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwargs,
+                       skip_zero_grad, sr_model, d_model, n_views: int,
+                       patch: int, sr_ratio: int, perceptual=None):
+    weight_tv_density = float(cfg_train.weight_tv_density)
+    weight_tv_k0 = float(cfg_train.weight_tv_k0)
+    use_gan = cfg_train.get("weight_gan", 0) > 0
+    use_pcp = perceptual is not None
+    num_cond = int(cfg_model.get("num_cond", 1))
+    rk = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
+    rand_bkgd = bool(render_kwargs.get("rand_bkgd", False))
+
+    def build_cond(depth, viewdirs, pr, pc):
+        """SFT conditioning signal (run_sr.py:895-912). NHWC."""
+        conds = []
+        if num_cond in (1, 64):
+            conds.append(depth.reshape(1, pr, pc, 1))
+        if num_cond in (63, 64):
+            vd = ray_ops.positional_encoding(viewdirs, 10)
+            conds.append(jax.lax.stop_gradient(vd.reshape(1, pr, pc, -1)))
+        return jnp.concatenate(conds, axis=-1)
+
+    @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"))
+    def train_step(enc_params, buffers, enc_opt, sr_params, sr_opt, d_params, d_state,
+                   d_opt, batch, lrs, key, *, apply_tv: bool, tv_dense: bool):
+        rays_o, rays_d, viewdirs, target, target_hr = batch
+        n_rays = rays_o.shape[0]
+        pr = pc = patch
+
+        def g_loss_fn(ep, sp):
+            out = model_mod.forward(
+                model_cfg, ep, buffers, rays_o, rays_d, viewdirs,
+                stepsize=rk["stepsize"], near=rk["near"], far=rk["far"], bg=rk["bg"],
+                rand_bkgd=rand_bkgd, is_train=True, key=key, render_depth=True,
+            )
+            terms = {}
+            # photometric L1 on the rendered LR features (run_sr.py:884-887)
+            rgb_render = out["rgb_feature"]
+            loss = cfg_train.weight_main * jnp.mean(jnp.abs(rgb_render - target))
+            terms["loss_photo"] = loss
+
+            rgb_cache = rgb_render.reshape(1, pr, pc, -1)
+            cond = build_cond(out["depth"], viewdirs, pr, pc)
+            rgb_sr = sr_model.apply({"params": sp}, rgb_cache, cond)
+            rgb_hr = target_hr.reshape(1, pr * sr_ratio, pc * sr_ratio, 3)
+
+            loss_sr = jnp.mean(jnp.abs(rgb_sr - rgb_hr))
+            terms["loss_l1"] = loss_sr
+            loss = loss + loss_sr
+            psnr_sr = -10.0 * jnp.log10(
+                jnp.mean((jnp.clip(jax.lax.stop_gradient(rgb_sr), 0, 1) - rgb_hr) ** 2)
+            )
+
+            if use_pcp:
+                loss_pcp, loss_style = perceptual(rgb_sr, rgb_hr)
+                terms["loss_pcp"] = loss_pcp
+                terms["loss_style"] = loss_style
+                loss = loss + loss_pcp + loss_style
+            if use_gan:
+                fake_g, _ = d_model.apply(
+                    {"params": d_params, "spectral": d_state}, rgb_sr,
+                    update_sn=False, mutable=["spectral"],
+                )
+                loss_g = sr_losses.gan_loss(
+                    fake_g, True, is_disc=False, loss_weight=cfg_train.weight_gan
+                )
+                terms["loss_g"] = loss_g
+                loss = loss + loss_g
+
+            if cfg_train.weight_entropy_last > 0:
+                ent = losses.entropy_last_loss(out["alphainv_last"])
+                terms["loss_entrp_last"] = cfg_train.weight_entropy_last * ent
+                loss = loss + cfg_train.weight_entropy_last * ent
+            if cfg_train.weight_distortion > 0:
+                from fourk_nerf_tpu.ops import render as render_ops
+
+                ld = render_ops.distortion_loss(
+                    out["weights"], out["s"], 1.0 / out["n_max"], n_rays
+                )
+                terms["loss_distor"] = cfg_train.weight_distortion * ld
+                loss = loss + cfg_train.weight_distortion * ld
+            if cfg_train.weight_rgbper > 0:
+                lr_ = losses.rgbper(out["raw_rgb"], out["weights"], target, n_rays)
+                terms["loss_rgbper"] = cfg_train.weight_rgbper * lr_
+                loss = loss + cfg_train.weight_rgbper * lr_
+            return loss, (terms, psnr_sr, rgb_sr, rgb_hr)
+
+        (loss, (terms, psnr_sr, rgb_sr, rgb_hr)), (enc_grads, sr_grads) = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1), has_aux=True
+        )(enc_params, sr_params)
+
+        if apply_tv:
+            # NOTE: the joint driver scales TV by the VIEW count, not the ray
+            # count (run_sr.py:1005-1011 divides by len(rays_o_tr) == n_views)
+            if weight_tv_density > 0:
+                enc_grads = {**enc_grads, "density": enc_grads["density"] + model_mod.density_tv_grad(
+                    model_cfg, enc_params, weight_tv_density, tv_dense, n_views, enc_grads["density"]
+                )}
+            if weight_tv_k0 > 0:
+                enc_grads = {**enc_grads, "k0": enc_grads["k0"] + model_mod.k0_tv_grad(
+                    model_cfg, enc_params, weight_tv_k0, tv_dense, n_views, enc_grads["k0"]
+                )}
+
+        new_enc, new_enc_opt = optim.apply_updates(
+            enc_params, enc_grads, enc_opt, lrs["enc"], skip_zero_grad=skip_zero_grad
+        )
+        new_sr, new_sr_opt = optim.apply_updates(
+            {"srnet": sr_params}, {"srnet": sr_grads}, sr_opt, {"srnet": lrs["srnet"]}
+        )
+        new_sr = new_sr["srnet"]
+
+        # ---- discriminator step (run_sr.py:1017-1047) ----------------------
+        new_d, new_d_state, new_d_opt, d_terms = d_params, d_state, d_opt, {}
+        if use_gan:
+            def d_loss_fn(dp, ds):
+                real_d, ds1 = d_model.apply(
+                    {"params": dp, "spectral": ds}, rgb_hr, update_sn=True,
+                    mutable=["spectral"],
+                )
+                l_real = sr_losses.gan_loss(real_d, True, is_disc=True)
+                fake_d, ds2 = d_model.apply(
+                    {"params": dp, "spectral": ds1["spectral"]},
+                    jax.lax.stop_gradient(rgb_sr), update_sn=True, mutable=["spectral"],
+                )
+                l_fake = sr_losses.gan_loss(fake_d, False, is_disc=True)
+                return l_real + l_fake, (l_real, l_fake, ds2["spectral"])
+
+            (_, (l_real, l_fake, new_d_state)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(d_params, d_state)
+            d_terms = {"loss_d_real": l_real, "loss_d_fake": l_fake}
+            new_dd, new_d_opt = optim.apply_updates(
+                {"d": d_params}, {"d": d_grads}, d_opt, {"d": lrs["d"]}
+            )
+            new_d = new_dd["d"]
+
+        terms = {**terms, **d_terms}
+        return (new_enc, new_enc_opt, new_sr, new_sr_opt, new_d, new_d_state,
+                new_d_opt, loss, psnr_sr, terms)
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# the driver
+# ---------------------------------------------------------------------------
+
+def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
+                                      data_dict, stage: str, writer=None):
+    if abs(cfg_model.world_bound_scale - 1) > 1e-9:
+        xyz_shift = (xyz_max - xyz_min) * (cfg_model.world_bound_scale - 1) / 2
+        xyz_min, xyz_max = xyz_min - xyz_shift, xyz_max + xyz_shift
+
+    HW, Ks, poses = data_dict["HW"], data_dict["Ks"], data_dict["poses"]
+    near, far = data_dict["near"], data_dict["far"]
+    i_train, i_val = data_dict["i_train"], data_dict["i_val"]
+    srgt = data_dict["srgt"]
+    sr_ratio = int(cfg.data.factor / cfg.data.load_sr) if cfg.data.load_sr else 4
+    rng = np.random.default_rng(getattr(args, "seed", 777))
+    key = jax.random.PRNGKey(getattr(args, "seed", 777))
+    patch = int(cfg_train.get("N_patch", 64))
+
+    last_ckpt_path = os.path.join(cfg.basedir, cfg.expname, f"{stage}_last.npz")
+    model_mod = dmpigo if cfg.data.ndc else dvgo
+
+    # --- encoder: reload (pretrained) or fresh ------------------------------
+    start = 0
+    reload_path = None
+    if not getattr(args, "no_reload", False):
+        if getattr(args, "ftdv_path", ""):
+            reload_path = args.ftdv_path
+        elif os.path.isfile(last_ckpt_path):
+            reload_path = last_ckpt_path
+
+    if reload_path:
+        print(f"sr ({stage}): reload encoder from {reload_path}")
+        if reload_path.endswith(".tar"):
+            kwargs_l, params, buffers, start = checkpoints.import_torch_encoder_checkpoint(reload_path)
+        else:
+            kwargs_l, params, buffers, _, start, _ = checkpoints.load_checkpoint(reload_path)
+        model_cfg = model_mod.make_config(**kwargs_l)
+    else:
+        model_kwargs = {k: v for k, v in cfg_model.items()}
+        num_voxels = model_kwargs.pop("num_voxels")
+        if len(cfg_train.pg_scale):
+            num_voxels = int(num_voxels / (2 ** len(cfg_train.pg_scale)))
+        model_cfg = trainer._make_cfg(model_mod, cfg, xyz_min, xyz_max, num_voxels, model_kwargs)
+        key, k_init = jax.random.split(key)
+        params, buffers = model_mod.init(model_cfg, k_init)
+
+    # --- SR generator -------------------------------------------------------
+    sr_model = sr_esrnet.SFTNet(
+        n_in_colors=int(cfg_model.dim_rend), scale=sr_ratio, num_feat=64, num_block=5,
+        num_grow_ch=32, num_cond=int(cfg_model.get("num_cond", 1)),
+    )
+    key, k_sr = jax.random.split(key)
+    sr_params = sr_model.init(
+        k_sr, jnp.zeros((1, patch, patch, int(cfg_model.dim_rend))),
+        jnp.zeros((1, patch, patch, int(cfg_model.get("num_cond", 1)) if int(cfg_model.get("num_cond", 1)) != 64 else 64)),
+    )["params"]
+    if getattr(args, "ftsr_path", ""):
+        import torch
+
+        sd = torch.load(args.ftsr_path, map_location="cpu", weights_only=False)
+        for pk in ("params_ema", "params"):
+            if isinstance(sd, dict) and pk in sd:
+                sd = sd[pk]
+                break
+        imported = sr_esrnet.import_sftnet_torch(sd)
+        sr_params = sr_esrnet.merge_params(sr_params, imported)
+        print(f"sr ({stage}): imported SR init from {args.ftsr_path}")
+
+    # --- losses + discriminator --------------------------------------------
+    perceptual = None
+    if cfg_train.get("weight_pcp", 0) > 0:
+        try:
+            perceptual = sr_losses.PerceptualLoss(
+                perceptual_weight=cfg_train.weight_pcp,
+                style_weight=cfg_train.get("weight_style", 0),
+            )
+        except FileNotFoundError as e:
+            print(f"sr ({stage}): perceptual loss disabled ({e})")
+
+    use_gan = cfg_train.get("weight_gan", 0) > 0
+    d_params, d_state = None, {}
+    d_model = None
+    if use_gan:
+        d_model = sr_unetdisc.UNetDiscriminatorSN(num_feat=64)
+        key, k_d = jax.random.split(key)
+        d_vars = d_model.init(k_d, jnp.zeros((1, patch * sr_ratio, patch * sr_ratio, 3)))
+        d_params, d_state = d_vars["params"], d_vars["spectral"]
+
+    render_kwargs = {
+        "near": float(near), "far": float(far),
+        "bg": 1.0 if cfg.data.white_bkgd else 0.0,
+        "rand_bkgd": bool(cfg.data.rand_bkgd),
+        "stepsize": float(cfg_model.stepsize),
+    }
+
+    # --- rays (per-view image layout for patch sampling) --------------------
+    flat, _, _ = trainer.gather_training_rays(
+        cfg, _force_image_sampler(cfg_train), data_dict
+    )
+    dev = {k: jnp.asarray(v) for k, v in flat.items()}  # [V,H,W,3]
+    V, H, W = flat["rgb"].shape[:3]
+    # srgt is NCHW for llff (lib/load_llff.py:463); blender is NHWC already
+    srgt_train = np.asarray(srgt)[i_train]
+    if srgt_train.shape[1] == 3 and srgt_train.ndim == 4:
+        srgt_train = np.moveaxis(srgt_train, 1, -1)
+    dev_hr = jnp.asarray(srgt_train, dtype=jnp.float32)  # [V,H*r,W*r,3]
+
+    sample_patch = make_patch_sampler(V, H, W, patch, rng)
+
+    # --- optimizers ---------------------------------------------------------
+    base_lrs = optim.build_group_lrs(cfg_train, params)
+    skip_zero = frozenset(cfg_train.skip_zero_grad_fields)
+    enc_opt = optim.init_state({k: params[k] for k in params})
+    sr_opt = optim.init_state({"srnet": sr_params})
+    d_opt = optim.init_state({"d": d_params}) if use_gan else None
+    lr_srnet0 = float(cfg_train.get("lrate_srnet", 2e-4))
+
+    train_step = make_sr_train_step(
+        model_mod, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
+        skip_zero_grad=skip_zero, sr_model=sr_model, d_model=d_model,
+        n_views=V, patch=patch, sr_ratio=sr_ratio, perceptual=perceptual,
+    )
+
+    gather = jax.jit(
+        lambda d, hr, v, r, c: (
+            jax.lax.dynamic_slice(d["rays_o"][v], (r, c, 0), (patch, patch, 3)).reshape(-1, 3),
+            jax.lax.dynamic_slice(d["rays_d"][v], (r, c, 0), (patch, patch, 3)).reshape(-1, 3),
+            jax.lax.dynamic_slice(d["viewdirs"][v], (r, c, 0), (patch, patch, 3)).reshape(-1, 3),
+            jax.lax.dynamic_slice(d["rgb"][v], (r, c, 0), (patch, patch, 3)).reshape(-1, 3),
+            jax.lax.dynamic_slice(
+                hr[v], (r * sr_ratio, c * sr_ratio, 0),
+                (patch * sr_ratio, patch * sr_ratio, 3),
+            ).reshape(-1, 3),
+        )
+    )
+
+    loss_hist: dict = {}
+    psnr_sr_hist: list = []
+    best_lpips = np.inf
+    best_psnr = -np.inf
+    steps_since_reset = start
+    time0 = time.time()
+
+    for global_step in range(1 + start, 1 + cfg_train.N_iters):
+        if (global_step + 500) % 1000 == 0:
+            buffers = model_mod.update_occupancy_cache(model_cfg, params, buffers)
+
+        if global_step in cfg_train.pg_scale:
+            n_rest = len(cfg_train.pg_scale) - cfg_train.pg_scale.index(global_step) - 1
+            cur_voxels = int(cfg_model.num_voxels / (2**n_rest))
+            if model_mod is dmpigo:
+                model_cfg, params, buffers = dmpigo.scale_volume_grid(
+                    model_cfg, params, buffers, cur_voxels, model_cfg.mpi_depth
+                )
+                buffers = dmpigo.decay_act_shift(buffers, cfg_train.decay_after_scale)
+            else:
+                model_cfg, params, buffers = dvgo.scale_volume_grid(
+                    model_cfg, params, buffers, cur_voxels
+                )
+            enc_opt = optim.init_state({k: params[k] for k in params})
+            steps_since_reset = 0
+            train_step = make_sr_train_step(
+                model_mod, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
+                skip_zero_grad=skip_zero, sr_model=sr_model, d_model=d_model,
+                n_views=V, patch=patch, sr_ratio=sr_ratio, perceptual=perceptual,
+            )
+
+        v, r, c = sample_patch()
+        batch = gather(dev, dev_hr, v, r, c)
+
+        decayed = lambda lr0: optim.group_lr(lr0, steps_since_reset, cfg_train.lrate_decay)
+        lrs = {
+            "enc": {k: decayed(v0) for k, v0 in base_lrs.items()},
+            "srnet": decayed(lr_srnet0),
+            "d": decayed(lr_srnet0),
+        }
+        key, k_step = jax.random.split(key)
+        apply_tv = (
+            global_step < cfg_train.tv_before and global_step > cfg_train.tv_after
+            and global_step % cfg_train.tv_every == 0
+        )
+        (params, enc_opt, sr_params, sr_opt, d_params, d_state, d_opt, loss,
+         psnr_sr, terms) = train_step(
+            params, buffers, enc_opt, sr_params, sr_opt, d_params, d_state, d_opt,
+            batch, lrs, k_step,
+            apply_tv=bool(apply_tv), tv_dense=bool(global_step < cfg_train.tv_dense_before),
+        )
+        steps_since_reset += 1
+        psnr_sr_hist.append(float(psnr_sr))
+        for k, t in terms.items():
+            loss_hist.setdefault(k, []).append(float(t))
+
+        if global_step % args.i_print == 0:
+            eps = time.time() - time0
+            info = f"sr ({stage}): iter {global_step:6d} / " + " ".join(
+                f"{k}: {np.mean(vv):.6f}" for k, vv in loss_hist.items()
+            ) + f" / PSNR_SR: {np.mean(psnr_sr_hist):5.2f} / Eps: {eps:.0f}s"
+            print(info)
+            if writer is not None:
+                for k, vv in loss_hist.items():
+                    writer.scalar(f"train/{k}", float(np.mean(vv)), global_step)
+                writer.scalar("train/psnr_sr", float(np.mean(psnr_sr_hist)), global_step)
+            loss_hist, psnr_sr_hist = {}, []
+
+        if args.i_val and global_step % args.i_val == 0 and len(i_val):
+            val = evaluate_sr(
+                args, cfg, cfg_model, model_mod, model_cfg, params, buffers,
+                sr_model, sr_params, data_dict, render_kwargs, sr_ratio,
+            )
+            if writer is not None:
+                for k, vv in val.items():
+                    if isinstance(vv, float):
+                        writer.scalar(f"val/{k}", vv, global_step)
+            gate = val.get("lpips_sr")
+            improved = (gate is not None and gate < best_lpips) or (
+                gate is None and val["psnr_sr"] > best_psnr
+            )
+            if improved:
+                best_lpips = gate if gate is not None else best_lpips
+                best_psnr = max(best_psnr, val["psnr_sr"])
+                _save_joint(
+                    os.path.join(cfg.basedir, cfg.expname, "render_val", "best_joint.npz"),
+                    model_mod, model_cfg, params, buffers, sr_params,
+                    d_params, d_state, global_step,
+                )
+
+        if args.i_weights and global_step % args.i_weights == 0:
+            _save_joint(
+                os.path.join(cfg.basedir, cfg.expname, "ckpt_saved", f"{stage}_{global_step:06d}.npz"),
+                model_mod, model_cfg, params, buffers, sr_params, d_params, d_state, global_step,
+            )
+
+    if cfg_train.N_iters > start:
+        _save_joint(last_ckpt_path, model_mod, model_cfg, params, buffers, sr_params,
+                    d_params, d_state, cfg_train.N_iters)
+        print(f"sr ({stage}): saved checkpoint at {last_ckpt_path}")
+
+    return model_mod, model_cfg, params, buffers, sr_model, sr_params
+
+
+def _force_image_sampler(cfg_train):
+    """gather_training_rays in image layout regardless of the config sampler."""
+    import copy
+
+    ct = copy.deepcopy(cfg_train)
+    ct["ray_sampler"] = "random"
+    return ct
+
+
+def _save_joint(path, model_mod, model_cfg, params, buffers, sr_params, d_params,
+                d_state, global_step):
+    extra = {"pipeline": "joint_sr"}
+    tree = dict(params)
+    tree["__sr__"] = sr_params
+    if d_params is not None:
+        tree["__disc__"] = d_params
+        tree["__disc_state__"] = d_state
+    checkpoints.save_checkpoint(
+        path, model_mod.get_kwargs(model_cfg), tree, buffers,
+        global_step=global_step, extra_meta=extra,
+    )
+
+
+def load_joint(path, ndc: bool):
+    """Load a joint checkpoint -> (model_mod, model_cfg, params, buffers,
+    sr_params, d_params, d_state, step)."""
+    model_mod = dmpigo if ndc else dvgo
+    kwargs, tree, buffers, _, step, _ = checkpoints.load_checkpoint(path)
+    sr_params = tree.pop("__sr__", None)
+    d_params = tree.pop("__disc__", None)
+    d_state = tree.pop("__disc_state__", {})
+    return model_mod, model_mod.make_config(**kwargs), tree, buffers, sr_params, d_params, d_state, step
+
+
+# ---------------------------------------------------------------------------
+# evaluation: full-frame render -> tiled SR -> metrics (run_sr.py:1084-1158)
+# ---------------------------------------------------------------------------
+
+def evaluate_sr(args, cfg, cfg_model, model_mod, model_cfg, params, buffers,
+                sr_model, sr_params, data_dict, render_kwargs, sr_ratio,
+                split="i_val", eval_lpips=True):
+    idx = data_dict[split]
+    res = trainer.render_viewpoints(
+        model_mod, model_cfg, params, buffers,
+        data_dict["poses"][idx], data_dict["HW"][idx], data_dict["Ks"][idx],
+        cfg=cfg, render_kwargs=render_kwargs,
+        gt_imgs=[np.asarray(data_dict["images"][i]) for i in idx],
+        eval_ssim=False, verbose=False,
+    )
+    srgt = np.asarray(data_dict["srgt"])[idx]
+    if srgt.ndim == 4 and srgt.shape[1] == 3:
+        srgt = np.moveaxis(srgt, 1, -1)
+
+    apply_fn = jax.jit(lambda p, x, c: sr_model.apply({"params": p}, x, c))
+    num_cond = int(cfg_model.get("num_cond", 1))
+    psnrs, ssims, lpips_vals = [], [], []
+    sr_frames = []
+    tile = int(getattr(args, "test_tile", 0) or 0)
+    for fi in range(len(idx)):
+        feat = jnp.asarray(res["rgb_features"][fi][None])  # [1,H,W,C]
+        conds = []
+        if num_cond in (1, 64):
+            conds.append(jnp.asarray(res["depths"][fi][None, ..., None]))
+        if num_cond in (63, 64):
+            H, W = feat.shape[1:3]
+            _, _, vd = ray_ops.get_rays_of_a_view(
+                H, W, data_dict["Ks"][idx][fi], data_dict["poses"][idx][fi],
+                ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
+                flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+            )
+            conds.append(ray_ops.positional_encoding(jnp.asarray(vd), 10)[None])
+        cond = jnp.concatenate(conds, axis=-1)
+        if tile:
+            sr = sr_esrnet.tile_process(apply_fn, sr_params, feat, cond,
+                                        tile_size=tile, scale=sr_ratio)[0]
+        else:
+            sr = np.asarray(apply_fn(sr_params, feat, cond))[0]
+        sr = np.clip(sr, 0, 1)
+        sr_frames.append(sr)
+        gt = srgt[fi]
+        psnrs.append(metrics.psnr(sr, gt))
+        ssims.append(metrics.rgb_ssim(sr, gt))
+        if eval_lpips:
+            lp = metrics.rgb_lpips(gt, sr, "vgg")
+            if lp is not None:
+                lpips_vals.append(lp)
+    out = {
+        "psnr_sr": float(np.mean(psnrs)),
+        "ssim_sr": float(np.mean(ssims)),
+        "sr_frames": sr_frames,
+        "psnr_lr": float(np.mean(res["psnrs"])) if res["psnrs"] else None,
+    }
+    if lpips_vals:
+        out["lpips_sr"] = float(np.mean(lpips_vals))
+    print(f"evaluate_sr: psnr {out['psnr_sr']:.2f} ssim {out['ssim_sr']:.4f}"
+          + (f" lpips {out['lpips_sr']:.4f}" if "lpips_sr" in out else ""))
+    return out

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fourk_nerf_tpu.models import dmpigo, dvgo
+from fourk_nerf_tpu.models import dcvgo, dmpigo, dvgo
 from fourk_nerf_tpu.ops import rays as ray_ops
 from fourk_nerf_tpu.train import checkpoints, losses, optim
 from fourk_nerf_tpu.utils import metrics
@@ -183,7 +183,7 @@ def make_batch_sampler(sampler: str, flat: dict, n_rand: int, rng: np.random.Gen
 # ---------------------------------------------------------------------------
 
 def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
-                    skip_zero_grad: frozenset):
+                    skip_zero_grad: frozenset, near_thres=None):
     """Build a jitted step fn. Static per phase: model config (shapes),
     TV-mode flags. Traced: params, opt state, batch, lrs, rng key."""
 
@@ -204,7 +204,9 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
                 stepsize=rk["stepsize"], near=rk["near"], far=rk["far"],
                 bg=rk["bg"], rand_bkgd=rand_bkgd, is_train=True, key=key,
             )
-            loss, terms = losses.encoder_losses(out, target, cfg_train, n_rays)
+            loss, terms = losses.encoder_losses(
+                out, target, cfg_train, n_rays, near_thres=near_thres
+            )
             return loss, terms
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -322,7 +324,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
     last_ckpt_path = os.path.join(cfg.basedir, cfg.expname, f"{stage}_last.npz")
 
     # --- model construction / reload (run.py:280-332) -----------------------
-    model_mod = dmpigo if cfg.data.ndc else dvgo
+    model_mod = _select_model_mod(cfg)
     model_kwargs = {k: v for k, v in cfg_model.items()}
     num_voxels = model_kwargs.pop("num_voxels")
     if len(cfg_train.pg_scale):
@@ -411,9 +413,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
     base_lrs = optim.build_group_lrs(cfg_train, params)
     skip_zero = frozenset(cfg_train.skip_zero_grad_fields)
     opt_state = optim.init_state({k: params[k] for k in params})
+    near_thres = None
+    if model_mod is dcvgo and data_dict.get("near_clip") is not None:
+        near_thres = float(data_dict["near_clip"]) / model_cfg.scene_radius[0]
     train_step = make_train_step(
         model_mod, model_cfg, cfg_train, render_kwargs=render_kwargs,
-        skip_zero_grad=skip_zero,
+        skip_zero_grad=skip_zero, near_thres=near_thres,
     )
 
     steps_since_reset = start
@@ -441,14 +446,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
                 )
                 buffers = dmpigo.decay_act_shift(buffers, cfg_train.decay_after_scale)
             else:
-                model_cfg, params, buffers = dvgo.scale_volume_grid(
+                model_cfg, params, buffers = model_mod.scale_volume_grid(
                     model_cfg, params, buffers, cur_voxels
                 )
             opt_state = optim.init_state({k: params[k] for k in params})
             steps_since_reset = 0
             train_step = make_train_step(
                 model_mod, model_cfg, cfg_train, render_kwargs=render_kwargs,
-                skip_zero_grad=skip_zero,
+                skip_zero_grad=skip_zero, near_thres=near_thres,
             )
 
         # batch (run.py:479-506)
@@ -526,6 +531,16 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
     return model_mod, model_cfg, params, buffers
 
 
+def _select_model_mod(cfg):
+    """Model-class switch (run.py:286-313): ndc -> DirectMPIGO,
+    unbounded_inward -> DirectContractedVoxGO, else DirectVoxGO."""
+    if cfg.data.ndc:
+        return dmpigo
+    if cfg.data.get("unbounded_inward", False):
+        return dcvgo
+    return dvgo
+
+
 def _make_cfg(model_mod, cfg, xyz_min, xyz_max, num_voxels, model_kwargs):
     kw = dict(model_kwargs)
     if model_mod is dmpigo:
@@ -534,7 +549,7 @@ def _make_cfg(model_mod, cfg, xyz_min, xyz_max, num_voxels, model_kwargs):
             mpi_depth=kw.pop("mpi_depth"), **kw,
         )
     kw.pop("mpi_depth", None)
-    return dvgo.make_config(
+    return model_mod.make_config(
         xyz_min=xyz_min, xyz_max=xyz_max, num_voxels=num_voxels,
         num_voxels_base=kw.pop("num_voxels_base"), alpha_init=kw.pop("alpha_init"), **kw,
     )

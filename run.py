@@ -59,6 +59,7 @@ def load_everything(args, cfg):
     }
     if cfg.data.load_sr:
         kept.add("srgt")
+        kept.add("w2c")
     for k in list(data_dict.keys()):
         if k not in kept:
             data_dict.pop(k)
