@@ -1,13 +1,14 @@
 #!/usr/bin/env python3
-"""Benchmark: rays/sec through the flagship encoder forward (DirectMPIGO at
-the LLFF fern fine-stage configuration) on the current accelerator.
+"""End-to-end 4K pipeline benchmark on the current accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measures the full 4K-NeRF inference path at the LLFF fern configuration:
+a 1008x756 DirectMPIGO encoder render (384x384x256 grid, 9-ch features,
+256 samples/ray, plane-aligned fast path) followed by the x4 SFTNet
+VC-Decoder to 4032x3024 (> 4K), as one 4K frame.
 
-``vs_baseline`` is measured against the BASELINE.json north star (>= 1 fps at
-4K per chip): a 4K frame needs one 1008x756 encoder render (762k rays) plus
-the 4x SR pass, so we report encoder rays/sec normalized by the 762k rays/
-frame * 1 frame/sec encoder budget.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is against the BASELINE.json north star of 1 fps at 4K per
+chip (so 2.0 means 2x the target).
 """
 
 from __future__ import annotations
@@ -22,60 +23,103 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fourk_nerf_tpu.models import dmpigo
+    from fourk_nerf_tpu.models import dmpigo, sr_esrnet
+    from fourk_nerf_tpu.ops import rays as ray_ops
 
-    # fern fine-stage model shape (configs/llff/llff_default_lg.py):
-    # 384x384x256 grid, 9-channel k0, stepsize 1.0 -> 256 samples/ray
+    H, W = 756, 1008  # LLFF fern LR (configs/llff/llff_default_lg.py:8-9)
+    sr_scale = 4
+    rng = np.random.default_rng(0)
+
     cfg = dmpigo.make_config(
         xyz_min=[-1.5, -1.67, -1.0], xyz_max=[1.5, 1.67, 1.0],
         num_voxels=384 * 384 * 256, mpi_depth=256,
         fast_color_thres=1.0 / 256 / 5, rgbnet_dim=9, rgbnet_depth=3, rgbnet_width=64,
     )
     params, buffers = dmpigo.init(cfg, jax.random.PRNGKey(0))
-    # random-ish geometry so masks behave like mid-training (~half occupied)
-    rng = np.random.default_rng(0)
     params["density"] = jnp.asarray(
         rng.normal(-2.0, 2.0, params["density"].shape).astype(np.float32)
     )
-    mask = rng.uniform(size=cfg.mask_cache_world_size) < 0.5
-    buffers["mask_cache"] = jnp.asarray(mask)
+    buffers["mask_cache"] = jnp.asarray(rng.uniform(size=cfg.mask_cache_world_size) < 0.5)
 
-    n_rays = 8192  # reference eval chunk (run.py:108-116)
-    rays_o = jnp.asarray(
-        np.concatenate([rng.uniform(-0.5, 0.5, (n_rays, 2)), np.zeros((n_rays, 1))], -1),
-        dtype=jnp.float32,
+    # one real camera's NDC rays for the full frame
+    focal = 815.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], dtype=np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 1.0
+    ro, rd, vd = ray_ops.get_rays_of_a_view(
+        H, W, K, c2w[:3, :4], ndc=True, inverse_y=False, flip_x=False, flip_y=False
     )
-    rays_d = jnp.asarray(
-        np.concatenate([rng.uniform(-0.3, 0.3, (n_rays, 2)), np.ones((n_rays, 1))], -1),
-        dtype=jnp.float32,
-    )
-    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    ro = jnp.asarray(np.asarray(ro).reshape(-1, 3))
+    rd = jnp.asarray(np.asarray(rd).reshape(-1, 3))
+    vd = jnp.asarray(np.asarray(vd).reshape(-1, 3))
+
+    chunk = 65536
+    n = ro.shape[0]
+    pad = (-n) % chunk
+    ro = jnp.concatenate([ro, ro[-pad:]], 0) if pad else ro
+    rd = jnp.concatenate([rd, rd[-pad:]], 0) if pad else rd
+    vd = jnp.concatenate([vd, vd[-pad:]], 0) if pad else vd
+    n_chunks = ro.shape[0] // chunk
+    ndc_planes = dmpigo.plane_aligned_ok(cfg, 1.0, ndc=True)
 
     @jax.jit
-    def fwd(params, buffers, ro, rd, vd):
-        out = dmpigo.forward(cfg, params, buffers, ro, rd, vd, stepsize=1.0, bg=1.0)
-        return out["rgb_marched"], out["depth"] if "depth" in out else out["alphainv_last"]
+    def encoder_chunk(params, buffers, ro, rd, vd):
+        out = dmpigo.forward(
+            cfg, params, buffers, ro, rd, vd, stepsize=1.0, bg=1.0,
+            render_depth=True, ndc_planes=ndc_planes,
+        )
+        return out["rgb_feature"], out["depth"]
 
-    # warmup/compile
-    jax.block_until_ready(fwd(params, buffers, rays_o, rays_d, viewdirs))
+    def encode_frame():
+        feats, depths = [], []
+        for i in range(n_chunks):
+            s = i * chunk
+            f, d = encoder_chunk(params, buffers, ro[s:s + chunk], rd[s:s + chunk],
+                                 vd[s:s + chunk])
+            feats.append(f)
+            depths.append(d)
+        feat = jnp.concatenate(feats, 0)[:n].reshape(1, H, W, 3)
+        depth = jnp.concatenate(depths, 0)[:n].reshape(1, H, W, 1)
+        return feat, depth
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, buffers, rays_o, rays_d, viewdirs)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # SR decoder
+    sr_model = sr_esrnet.SFTNet(n_in_colors=3, scale=sr_scale, num_feat=64,
+                                num_block=5, num_grow_ch=32, num_cond=1)
+    sr_params = sr_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1))
+    )["params"]
 
-    rays_per_sec = n_rays * iters / dt
-    # north star: 1008*756 rays/frame at >= 1 fps
-    frame_rays = 1008 * 756
-    vs_baseline = rays_per_sec / frame_rays
+    @jax.jit
+    def sr_full(p, x, c):
+        return sr_model.apply({"params": p}, x, c)
+
+    def one_frame():
+        feat, depth = encode_frame()
+        return sr_full(sr_params, feat, depth)
+
+    # warmup (compiles)
+    jax.block_until_ready(one_frame())
+
+    ts, ts_enc = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        feat, depth = encode_frame()
+        jax.block_until_ready(feat)
+        t1 = time.perf_counter()
+        sr = sr_full(sr_params, feat, depth)
+        jax.block_until_ready(sr)
+        ts_enc.append(t1 - t0)
+        ts.append(time.perf_counter() - t0)
+    frame_s = float(np.median(ts))
+    enc_s = float(np.median(ts_enc))
+    fps = 1.0 / frame_s
 
     print(json.dumps({
-        "metric": "encoder_render_rays_per_sec",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(vs_baseline, 3),
+        "metric": "4k_pipeline_frames_per_sec",
+        "value": round(fps, 3),
+        "unit": "frames/s (1008x756 encoder + x4 SFTNet; encoder "
+                f"{enc_s*1e3:.1f} ms, sr {1e3*(frame_s-enc_s):.1f} ms)",
+        "vs_baseline": round(fps / 1.0, 3),
     }))
 
 

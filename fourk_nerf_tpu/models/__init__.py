@@ -5,12 +5,12 @@ Model selection rule matches the reference driver
 DirectContractedVoxGO, otherwise DirectVoxGO.
 """
 
-from fourk_nerf_tpu.models import dvgo, dmpigo, dcvgo  # noqa: F401
+from fourk_nerf_tpu.models import dvgo, dmpigo, dcvgo, dvqgo, dbvgo  # noqa: F401
 
 
-def model_module(ndc: bool, unbounded_inward: bool = False):
+def model_module(ndc: bool, unbounded_inward: bool = False, mode_type: str = ""):
     if ndc:
-        return dmpigo
+        return dvqgo if mode_type == "adain_vq" else dmpigo
     if unbounded_inward:
         return dcvgo
     return dvgo

@@ -150,13 +150,30 @@ def _xyz_minmax(cfg: Config, dtype=jnp.float32):
     return jnp.asarray(cfg.xyz_min, dtype=dtype), jnp.asarray(cfg.xyz_max, dtype=dtype)
 
 
+def plane_aligned_ok(cfg: Config, stepsize: float, ndc: bool) -> bool:
+    """True when the plane-aligned gather fast path is exact: NDC rays
+    (o_z=-1, d_z=2 by construction), a z-bbox of [-1, 1], stepsize 1, and a
+    per-ray sample count equal to ``mpi_depth``."""
+    return (
+        ndc
+        and stepsize == 1.0
+        and cfg.n_samples(stepsize) == cfg.world_size[2]
+        and abs(cfg.xyz_min[2] + 1.0) < 1e-6
+        and abs(cfg.xyz_max[2] - 1.0) < 1e-6
+    )
+
+
 def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, *,
             stepsize: float, bg: float = 0.0, rand_bkgd: bool = False,
             is_train: bool = False, render_depth: bool = False,
-            key: jax.Array | None = None, **unused) -> dict[str, Any]:
+            key: jax.Array | None = None, ndc_planes: bool = False,
+            **unused) -> dict[str, Any]:
     """Volume-render N rays. All outputs are dense ``[N]`` / ``[N, K]`` /
     ``[N, K, C]`` (the reference returns ragged ``[M]`` lists; dense weights
     already carry the compaction as zeros).
+
+    ``ndc_planes``: enable the exact plane-aligned gather fast path (see
+    :func:`plane_aligned_ok`; 4 bilinear corners instead of 8 trilinear).
 
     Reference: /root/reference/lib/dmpigo.py:292-427.
     """
@@ -164,6 +181,7 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
     K = cfg.n_samples(stepsize)
     xyz_min, xyz_max = _xyz_minmax(cfg)
     interval = stepsize * cfg.voxel_size_ratio
+    aligned = ndc_planes and cfg.density_type == "DenseGrid" and K == cfg.world_size[2]
 
     # --- sampling (fixed shape) + in-bbox validity --------------------------
     pts = render.sample_ndc_pts_on_rays(rays_o, rays_d, K)  # [N,K,3]
@@ -174,8 +192,14 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
 
     # --- density -> alpha (+ per-plane act_shift), alpha threshold ----------
     ind01 = grid_sample.world_to_ind01(pts, xyz_min, xyz_max)
-    density = common.grid_query(cfg.density_type, params["density"], ind01)[..., 0]
-    act_shift = grid_sample.trilinear_sample(buffers["act_shift"], ind01)[..., 0]
+    if aligned:
+        density = grid_sample.trilinear_sample_plane_aligned(
+            params["density"], ind01[..., :2]
+        )[..., 0]
+        act_shift = buffers["act_shift"][0, 0, :, 0][None, :]  # [1,K] exact plane value
+    else:
+        density = common.grid_query(cfg.density_type, params["density"], ind01)[..., 0]
+        act_shift = grid_sample.trilinear_sample(buffers["act_shift"], ind01)[..., 0]
     alpha = render.raw2alpha(density + act_shift, 0.0, interval)
     if cfg.fast_color_thres > 0:
         valid &= alpha > cfg.fast_color_thres
@@ -186,7 +210,10 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
         weights = jnp.where(weights > cfg.fast_color_thres, weights, 0.0)
 
     # --- color --------------------------------------------------------------
-    vox_emb = common.grid_query(cfg.k0_type, params["k0"], ind01)  # [N,K,C]
+    if aligned and cfg.k0_type == "DenseGrid":
+        vox_emb = grid_sample.trilinear_sample_plane_aligned(params["k0"], ind01[..., :2])
+    else:
+        vox_emb = common.grid_query(cfg.k0_type, params["k0"], ind01)  # [N,K,C]
     if cfg.rgbnet_dim <= 0:
         rgb_raw = jax.nn.sigmoid(vox_emb)
     else:

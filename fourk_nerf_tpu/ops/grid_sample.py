@@ -64,6 +64,49 @@ def trilinear_sample(grid, ind01):
     return out.reshape(*batch_shape, C)
 
 
+def trilinear_sample_plane_aligned(grid, ind01_xy, valid_z=None):
+    """Trilinear sampling specialized for the MPI geometry where sample k of
+    every ray lies EXACTLY on grid depth-plane k.
+
+    In LLFF NDC every ray has o_z = -1 and d_z = 2 by construction
+    (ops/rays.py ndc_rays), the scene bbox spans z in [-1, 1], and with
+    stepsize=1 the sample count equals ``mpi_depth`` -- so the z interpolation
+    weight degenerates to exact plane indexing and the 8-corner trilinear
+    gather becomes a 4-corner bilinear gather on plane k (half the HBM
+    traffic of the general path, identical results).
+
+    Args:
+      grid: ``[X, Y, Z, C]`` with Z == K.
+      ind01_xy: ``[N, K, 2]`` normalized xy coordinates (sample k uses plane k).
+
+    Returns ``[N, K, C]``.
+    """
+    X, Y, Z, C = grid.shape
+    N, K, _ = ind01_xy.shape
+    assert K == Z, (K, Z)
+    size = jnp.array([X, Y], dtype=ind01_xy.dtype)
+    pos = ind01_xy * (size - 1)
+    i0 = jnp.floor(pos)
+    frac = pos - i0
+    i0 = i0.astype(jnp.int32)
+
+    plane_k = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
+    flat_grid = grid.reshape(-1, C)
+    sizes = jnp.array([X, Y], dtype=jnp.int32)
+    out = jnp.zeros((N, K, C), dtype=grid.dtype)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            corner = jnp.array([cx, cy], dtype=jnp.int32)
+            idx = i0 + corner  # [N,K,2]
+            valid = jnp.all((idx >= 0) & (idx < sizes), axis=-1)
+            w = jnp.prod(jnp.where(corner == 1, frac, 1.0 - frac), axis=-1)
+            cidx = jnp.clip(idx, 0, sizes - 1)
+            flat_idx = (cidx[..., 0] * Y + cidx[..., 1]) * Z + plane_k
+            vals = jnp.take(flat_grid, flat_idx.reshape(-1), axis=0).reshape(N, K, C)
+            out = out + jnp.where(valid, w, 0.0)[..., None] * vals
+    return out
+
+
 def grid_query(grid, xyz, xyz_min, xyz_max):
     """Query a world-space voxel grid: ``DenseGrid.forward`` equivalent
     (/root/reference/lib/grid.py:117-128). Returns ``[..., C]`` (``[...]`` when C==1

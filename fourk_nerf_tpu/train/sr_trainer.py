@@ -71,6 +71,7 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
     num_cond = int(cfg_model.get("num_cond", 1))
     rk = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
     rand_bkgd = bool(render_kwargs.get("rand_bkgd", False))
+    ndc_planes = bool(render_kwargs.get("ndc_planes", False))
 
     def build_cond(depth, viewdirs, pr, pc):
         """SFT conditioning signal (run_sr.py:895-912). NHWC."""
@@ -94,6 +95,7 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
                 model_cfg, ep, buffers, rays_o, rays_d, viewdirs,
                 stepsize=rk["stepsize"], near=rk["near"], far=rk["far"], bg=rk["bg"],
                 rand_bkgd=rand_bkgd, is_train=True, key=key, render_depth=True,
+                ndc_planes=ndc_planes,
             )
             terms = {}
             # photometric L1 on the rendered LR features (run_sr.py:884-887)
@@ -298,6 +300,10 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         "rand_bkgd": bool(cfg.data.rand_bkgd),
         "stepsize": float(cfg_model.stepsize),
     }
+    if model_mod is dmpigo:
+        render_kwargs["ndc_planes"] = dmpigo.plane_aligned_ok(
+            model_cfg, render_kwargs["stepsize"], cfg.data.ndc
+        )
 
     # --- rays (per-view image layout for patch sampling) --------------------
     flat, _, _ = trainer.gather_training_rays(

@@ -191,6 +191,7 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
     weight_tv_k0 = float(cfg_train.weight_tv_k0)
     rk = {k: render_kwargs[k] for k in ("near", "far", "bg", "stepsize")}
     rand_bkgd = bool(render_kwargs.get("rand_bkgd", False))
+    ndc_planes = bool(render_kwargs.get("ndc_planes", False))
 
     @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"))
     def train_step(params, buffers, opt_state, batch, lrs, per_lr, key, *,
@@ -203,6 +204,7 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
                 model_cfg, p, buffers, rays_o, rays_d, viewdirs,
                 stepsize=rk["stepsize"], near=rk["near"], far=rk["far"],
                 bg=rk["bg"], rand_bkgd=rand_bkgd, is_train=True, key=key,
+                ndc_planes=ndc_planes,
             )
             loss, terms = losses.encoder_losses(
                 out, target, cfg_train, n_rays, near_thres=near_thres
@@ -241,13 +243,15 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
     outputs and per-frame metric lists."""
     rk = dict(render_kwargs)
     rk.pop("rand_bkgd", None)
+    if model_mod is dmpigo and "ndc_planes" not in rk:
+        rk["ndc_planes"] = dmpigo.plane_aligned_ok(model_cfg, rk["stepsize"], cfg.data.ndc)
 
     @jax.jit
     def fwd(ro, rd, vd):
         out = model_mod.forward(
             model_cfg, params, buffers, ro, rd, vd,
             stepsize=rk["stepsize"], near=rk["near"], far=rk["far"], bg=rk["bg"],
-            render_depth=True,
+            render_depth=True, ndc_planes=bool(rk.get("ndc_planes", False)),
         )
         return {k: out[k] for k in ("rgb_marched", "rgb_feature", "depth", "alphainv_last")}
 
@@ -384,6 +388,10 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
         "rand_bkgd": bool(cfg.data.rand_bkgd),
         "stepsize": float(cfg_model.stepsize),
     }
+    if model_mod is dmpigo:
+        render_kwargs["ndc_planes"] = dmpigo.plane_aligned_ok(
+            model_cfg, render_kwargs["stepsize"], cfg.data.ndc
+        )
 
     # --- rays + sampler -----------------------------------------------------
     flat, mode, ray_lists = gather_training_rays(
@@ -532,9 +540,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
 
 
 def _select_model_mod(cfg):
-    """Model-class switch (run.py:286-313): ndc -> DirectMPIGO,
-    unbounded_inward -> DirectContractedVoxGO, else DirectVoxGO."""
+    """Model-class switch (run.py:286-313): ndc -> DirectMPIGO (or DirectQVGO
+    when mode_type == 'adain_vq'), unbounded_inward -> DirectContractedVoxGO,
+    else DirectVoxGO."""
     if cfg.data.ndc:
+        if cfg.fine_model_and_render.get("mode_type") == "adain_vq":
+            from fourk_nerf_tpu.models import dvqgo
+
+            return dvqgo
         return dmpigo
     if cfg.data.get("unbounded_inward", False):
         return dcvgo

@@ -121,6 +121,67 @@ def main():
             for i, frame in enumerate(val["sr_frames"]):
                 imageio.imwrite(os.path.join(outdir, f"sr_{i:03d}.png"), to8b(frame))
 
+    if args.render_video:
+        # 4K fly-through: render the spiral path, SR each frame, write mp4
+        # (reference run_sr.py:1399-1463 incl. per-frame sr-time printout)
+        import time
+
+        import jax
+        from fourk_nerf_tpu.models import sr_esrnet
+        from fourk_nerf_tpu.ops import rays as ray_ops
+        from fourk_nerf_tpu.utils.metrics import to8b
+
+        outdir = os.path.join(rundir, "render_video_sr")
+        os.makedirs(outdir, exist_ok=True)
+        rposes = np.asarray(data_dict["render_poses"])
+        n_frames = len(rposes)
+        res = trainer.render_viewpoints(
+            model_mod, model_cfg, params, buffers,
+            rposes,
+            np.tile(data_dict["HW"][0][None], (n_frames, 1)),
+            np.tile(data_dict["Ks"][0][None], (n_frames, 1, 1)),
+            cfg=cfg, render_kwargs=render_kwargs,
+        )
+        apply_fn = jax.jit(lambda p, x, c: sr_model.apply({"params": p}, x, c))
+        num_cond = int(cfg.fine_model_and_render.get("num_cond", 1))
+        frames = []
+        for fi in range(n_frames):
+            feat = res["rgb_features"][fi][None]
+            conds = []
+            if num_cond in (1, 64):
+                conds.append(res["depths"][fi][None, ..., None])
+            if num_cond in (63, 64):
+                H, W = feat.shape[1:3]
+                _, _, vd = ray_ops.get_rays_of_a_view(
+                    H, W, data_dict["Ks"][0], rposes[fi][:3, :4], ndc=cfg.data.ndc,
+                    inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+                )
+                conds.append(np.asarray(ray_ops.positional_encoding(vd, 10))[None])
+            cond = np.concatenate(conds, axis=-1)
+            t0 = time.time()
+            if args.test_tile:
+                sr = sr_esrnet.tile_process(
+                    apply_fn, sr_params, feat, cond, tile_size=args.test_tile, scale=sr_ratio
+                )[0]
+            else:
+                sr = np.asarray(apply_fn(sr_params, feat, cond))[0]
+            sr = np.asarray(sr)
+            print(f"sr time is: {time.time() - t0:.3f}s (frame {fi + 1}/{n_frames})")
+            frames.append(np.clip(sr, 0, 1))
+        try:
+            import imageio.v2 as imageio
+
+            imageio.mimwrite(
+                os.path.join(outdir, "video.sr.mp4"), to8b(np.stack(frames)), fps=30, quality=8
+            )
+            print(f"wrote {outdir}/video.sr.mp4")
+        except Exception as e:
+            import imageio.v2 as imageio
+
+            for fi, fr in enumerate(frames):
+                imageio.imwrite(os.path.join(outdir, f"sr_{fi:03d}.png"), to8b(fr))
+            print(f"mp4 writer unavailable ({e}); wrote PNG frames")
+
     writer.close()
     print("done")
 
