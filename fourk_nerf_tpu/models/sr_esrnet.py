@@ -130,6 +130,72 @@ class SFTNet(nn.Module):
         return nn.Conv(3, (3, 3), name="conv_last")(out)
 
 
+class ResidualDenseBlock(nn.Module):
+    """Plain (non-SFT) ESRGAN dense block (reference lib/sr_esrnet.py:59-87)."""
+
+    num_feat: int = 64
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        x1 = _lrelu(_rdb_conv(self.num_grow_ch, "conv1")(x))
+        x2 = _lrelu(_rdb_conv(self.num_grow_ch, "conv2")(jnp.concatenate([x, x1], -1)))
+        x3 = _lrelu(_rdb_conv(self.num_grow_ch, "conv3")(jnp.concatenate([x, x1, x2], -1)))
+        x4 = _lrelu(_rdb_conv(self.num_grow_ch, "conv4")(jnp.concatenate([x, x1, x2, x3], -1)))
+        x5 = _rdb_conv(self.num_feat, "conv5")(jnp.concatenate([x, x1, x2, x3, x4], -1))
+        return x5 * 0.2 + x
+
+
+class RRDB(nn.Module):
+    """(reference lib/sr_esrnet.py:90-109)"""
+
+    num_feat: int = 64
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, name="rdb1")(x)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, name="rdb2")(out)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, name="rdb3")(out)
+        return out * 0.2 + x
+
+
+def _pixel_shuffle2(x):
+    """NHWC pixel shuffle x2 with torch channel ordering (in-channel index
+    c*4 + a*2 + b -> out[c] at offset (a, b)): [N,H,W,4C] -> [N,2H,2W,C]."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+class RRDBNetBPS(nn.Module):
+    """Plain RRDB super-resolver with pixel-shuffle upsampling
+    (reference RRDBNet_bps, lib/sr_esrnet.py:185-241)."""
+
+    n_colors: int = 3
+    scale: int = 4
+    num_feat: int = 64
+    num_block: int = 5
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = nn.Conv(self.num_feat, (3, 3), name="conv_first")(x)
+        body = feat
+        for i in range(self.num_block):
+            body = RRDB(self.num_feat, self.num_grow_ch, name=f"body{i}")(body)
+        feat = feat + nn.Conv(self.num_feat, (3, 3), name="conv_body")(body)
+        up = _pixel_shuffle2(nn.Conv(4 * self.num_feat, (3, 3), name="ps_preconv1")(feat))
+        feat = _lrelu(nn.Conv(self.num_feat, (3, 3), name="conv_up1")(up))
+        if self.scale == 4:
+            up = _pixel_shuffle2(nn.Conv(4 * self.num_feat, (3, 3), name="ps_preconv2")(feat))
+            feat = _lrelu(nn.Conv(self.num_feat, (3, 3), name="conv_up2")(up))
+        out = _lrelu(nn.Conv(self.num_feat, (3, 3), name="conv_hr")(feat))
+        return nn.Conv(self.n_colors, (3, 3), name="conv_last")(out)
+
+
 # ---------------------------------------------------------------------------
 # Tiled 4K inference
 # ---------------------------------------------------------------------------

@@ -1,0 +1,230 @@
+"""Gather-free plane-sweep renderer for the NDC MPI model.
+
+XLA scalarizes random voxel gathers on TPU (~15 ns/element, measured ~24k
+rays/s on the fern-scale model), so the full-frame render path avoids
+gathers entirely:
+
+- Rays are processed in square pixel tiles. In NDC, a ray's grid-space xy
+  position is AFFINE in the plane index k (``pos(k) = a + b*k``), so a
+  tile's footprint on depth plane k is a small patch whose origin moves
+  smoothly with k -- fetched with one ``dynamic_slice`` per (tile, k).
+- Bilinear interpolation inside the patch is expressed as two separable
+  hat-weight contractions: ``wx[r, p] = relu(1 - |pos_x[r] - p|)`` has
+  exactly the two nonzero bilinear taps per row, so
+  ``out = wy . (wx @ patch)`` reproduces trilinear-on-a-plane exactly --
+  as MXU matmuls instead of 4 scalar gathers per sample.
+- The per-plane alpha -> transmittance -> composite runs as a
+  ``lax.scan`` over k carrying the accumulated transmittance, so the whole
+  renderer is (dynamic_slice + matmul + VPU) -- no gathers anywhere.
+
+Numerically identical to the plane-aligned path of
+:func:`fourk_nerf_tpu.models.dmpigo.forward` (zeros padding included: a
+position outside the patch support gets zero hat weight).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourk_nerf_tpu.models import common
+from fourk_nerf_tpu.ops import render, rays as ray_ops
+
+
+def pack_grids(cfg, params, buffers):
+    """Pack density + k0 into one plane-major [Z, X, Y, Cp] array (lane-
+    friendly channel count), plus per-plane act_shift [Z]."""
+    density = params["density"]  # [X,Y,Z,1]
+    k0 = params["k0"]            # [X,Y,Z,C]
+    packed = jnp.concatenate([density, k0], axis=-1)  # [X,Y,Z,1+C]
+    cp = packed.shape[-1]
+    pad = (-cp) % 8
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    packed = jnp.transpose(packed, (2, 0, 1, 3))  # [Z,X,Y,Cp]
+    act_shift = buffers["act_shift"][0, 0, :, 0]  # [Z]
+    # fold the free-space mask into the density channel: masked-out voxels
+    # get density -inf-ish so alpha==0 (mask_cache is nearest-neighbor in the
+    # reference; here we bake it at voxel resolution which is equivalent for
+    # matching world sizes)
+    mask = buffers["mask_cache"]
+    if mask.shape == params["density"].shape[:3]:
+        neg = jnp.where(mask, 0.0, -1e9)[..., None]  # [X,Y,Z,1]
+        packed = packed.at[..., 0:1].add(jnp.transpose(neg, (2, 0, 1, 3)))
+    return packed, act_shift
+
+
+def _affine_coeffs(rays_o, rays_d, xyz_min, xyz_max, sizes, n_samples):
+    """Grid-space xy position of sample k: pos(k) = a + b * k."""
+    a = (rays_o[..., :2] - xyz_min[:2]) / (xyz_max[:2] - xyz_min[:2]) * (sizes - 1)
+    b = (rays_d[..., :2] / (xyz_max[:2] - xyz_min[:2])) * (sizes - 1) / (n_samples - 1)
+    return a, b
+
+
+def _hat_weights(pos, offset, P: int):
+    """[R] positions -> [R, P] two-tap bilinear weights relative to a patch
+    starting at ``offset``."""
+    rel = pos[:, None] - (offset + jnp.arange(P, dtype=pos.dtype))[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(rel))
+
+
+def render_tile(packed, act_shift, a, b, viewdirs, mlp_params, *, cfg, interval,
+                patch: int, k0_dim: int, bg: float, act):
+    """Render one tile of rays ([R] flattened) against all Z planes.
+
+    Returns (rgb [R,3], depth [R], alphainv_last [R]).
+    """
+    Z, X, Y, Cp = packed.shape
+    R = a.shape[0]
+    viewdir_emb = ray_ops.positional_encoding(viewdirs, cfg.viewbase_pe)  # [R, 3+6*pe]
+
+    def body(carry, inp):
+        t_cum, rgb_acc, depth_acc, alive = carry
+        plane, shift_k, k = inp
+        pos = a + b * k  # [R,2]
+        # patch origin: tile min corner with a 1-texel guard, clamped
+        ox = jnp.clip(jnp.floor(jnp.min(pos[:, 0])).astype(jnp.int32) - 1, 0, X - patch)
+        oy = jnp.clip(jnp.floor(jnp.min(pos[:, 1])).astype(jnp.int32) - 1, 0, Y - patch)
+        patch_vals = jax.lax.dynamic_slice(plane, (ox, oy, 0), (patch, patch, Cp))
+
+        wx = _hat_weights(pos[:, 0], ox.astype(pos.dtype), patch)  # [R,P]
+        wy = _hat_weights(pos[:, 1], oy.astype(pos.dtype), patch)  # [R,P]
+        # separable contraction: [R,P] @ [P, P*Cp] -> [R,P,Cp]; then per-ray y
+        tmp = jnp.einsum("rp,pqc->rqc", wx, patch_vals,
+                         preferred_element_type=jnp.float32)
+        samp = jnp.einsum("rq,rqc->rc", wy, tmp)  # [R,Cp]
+
+        density = samp[:, 0]
+        feat = samp[:, 1:1 + k0_dim]
+        alpha = render.raw2alpha(density, shift_k, interval)
+        # in-bbox validity in xy (z is per-plane exact): reference masks
+        # out-of-bbox samples to alpha=0 (lib/dmpigo.py:281-284)
+        inb = (
+            (pos[:, 0] >= 0) & (pos[:, 0] <= X - 1)
+            & (pos[:, 1] >= 0) & (pos[:, 1] <= Y - 1)
+        )
+        alpha = jnp.where(inb, alpha, 0.0)
+        if cfg.fast_color_thres > 0:
+            alpha = jnp.where(alpha > cfg.fast_color_thres, alpha, 0.0)
+        alpha = jnp.where(alive, alpha, 0.0)
+        w = t_cum * alpha
+        if cfg.fast_color_thres > 0:
+            w = jnp.where(w > cfg.fast_color_thres, w, 0.0)
+
+        pe_spa_z = 2.0 * k / (Z - 1) - 1.0  # flipped zyx, lib/dmpigo.py:338
+        pe_spa = jnp.stack([
+            jnp.full((R,), pe_spa_z, dtype=samp.dtype),
+            pos[:, 1] / (Y - 1) * 2.0 - 1.0,
+            pos[:, 0] / (X - 1) * 2.0 - 1.0,
+        ], axis=-1)
+        pe_emb = ray_ops.positional_encoding(pe_spa, cfg.spatial_pe)
+        rgb_feat = jnp.concatenate([feat, pe_emb, viewdir_emb], axis=-1)
+        rgb_raw = jax.nn.sigmoid(common.mlp_apply(mlp_params, rgb_feat, act))
+
+        rgb_acc = rgb_acc + w[:, None] * rgb_raw
+        s_k = (k + 0.5) / Z
+        depth_acc = depth_acc + w * s_k
+        t_new = t_cum * (1.0 - alpha)
+        alive_new = alive & (t_new >= render.EARLY_TERM_THRES)
+        return (t_new, rgb_acc, depth_acc, alive_new), None
+
+    init = (
+        jnp.ones((R,), dtype=jnp.float32),
+        jnp.zeros((R, 3), dtype=jnp.float32),
+        jnp.zeros((R,), dtype=jnp.float32),
+        jnp.ones((R,), dtype=bool),
+    )
+    ks = jnp.arange(Z, dtype=jnp.float32)
+    (t_cum, rgb_acc, depth_acc, _alive), _ = jax.lax.scan(
+        body, init, (packed, act_shift, ks)
+    )
+    rgb = rgb_acc + t_cum[:, None] * bg
+    return rgb, depth_acc, t_cum
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "bg"))
+def _sweep_tiles(cfg, params, buffers, a_tiles, b_tiles, vd_tiles, *,
+                 interval: float, patch: int, bg: float):
+    packed, act_shift = pack_grids(cfg, params, buffers)
+    act = common.activation(cfg.act_type)
+    tile_fn = functools.partial(
+        render_tile, packed, act_shift, cfg=cfg, interval=interval, patch=patch,
+        k0_dim=cfg.k0_dim, bg=bg, act=act,
+    )
+
+    def one(ab_vd):
+        a_i, b_i, vd_i = ab_vd
+        return tile_fn(a_i, b_i, vd_i, params["rgbnet"])
+
+    return jax.lax.map(one, (a_tiles, b_tiles, vd_tiles))
+
+
+def render_frame(cfg, params, buffers, H: int, W: int, K, c2w, *, stepsize: float,
+                 bg: float, tile: int = 32, patch: int = 32, inverse_y=False,
+                 flip_x=False, flip_y=False):
+    """Full-frame gather-free render. Requires the plane-aligned conditions
+    (dmpigo.plane_aligned_ok). Returns dict with rgb/depth/alphainv maps."""
+    from fourk_nerf_tpu.models import dmpigo
+
+    assert dmpigo.plane_aligned_ok(cfg, stepsize, ndc=True)
+    xyz_min = jnp.asarray(cfg.xyz_min)
+    xyz_max = jnp.asarray(cfg.xyz_max)
+    X, Y, Z = cfg.world_size
+    sizes = jnp.asarray([X, Y], dtype=jnp.float32)
+
+    ro, rd, vd = ray_ops.get_rays_of_a_view(
+        H, W, K, c2w, ndc=True, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y
+    )
+    a, b = _affine_coeffs(ro, rd, xyz_min, xyz_max, sizes, Z)
+
+    # safety: every tile's footprint (at both sample extremes) must fit the
+    # patch, else hat weights silently read zeros
+    a_np, b_np = np.asarray(a), np.asarray(b)
+    for k_ext in (0.0, float(Z - 1)):
+        p = a_np + b_np * k_ext
+        for ty in range(0, H, tile):
+            for tx in range(0, W, tile):
+                blk = p[ty:ty + tile, tx:tx + tile]
+                spread = blk.reshape(-1, 2).max(0) - blk.reshape(-1, 2).min(0)
+                if (spread > patch - 3).any():
+                    raise ValueError(
+                        f"tile footprint {spread} exceeds patch {patch}; "
+                        "increase patch or decrease tile"
+                    )
+
+    # pad to tile multiples, cut tiles
+    ph, pw = (-H) % tile, (-W) % tile
+    pad2 = lambda x: jnp.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    a_t, b_t, vd_t = pad2(a), pad2(b), pad2(vd)
+    Ht, Wt = H + ph, W + pw
+    nty, ntx = Ht // tile, Wt // tile
+
+    def tiles_of(x):
+        c = x.shape[-1]
+        return (
+            x.reshape(nty, tile, ntx, tile, c).transpose(0, 2, 1, 3, 4)
+            .reshape(nty * ntx, tile * tile, c)
+        )
+
+    a_tiles, b_tiles, vd_tiles = tiles_of(a_t), tiles_of(b_t), tiles_of(vd_t)
+
+    interval = stepsize * cfg.voxel_size_ratio
+    rgb, depth, ail = _sweep_tiles(
+        cfg, params, buffers, a_tiles, b_tiles, vd_tiles,
+        interval=interval, patch=patch, bg=float(bg),
+    )
+
+    def untile(x):
+        c = x.shape[-1] if x.ndim == 3 else 1
+        x = x.reshape(nty, ntx, tile, tile, c).transpose(0, 2, 1, 3, 4)
+        return x.reshape(Ht, Wt, c)[:H, :W]
+
+    return {
+        "rgb_marched": untile(rgb),
+        "rgb_feature": untile(rgb) - untile(ail) * bg,
+        "depth": untile(depth)[..., 0],
+        "alphainv_last": untile(ail)[..., 0],
+    }

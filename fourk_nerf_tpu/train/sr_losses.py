@@ -170,3 +170,71 @@ def _gram(feat):
     n, h, w, c = feat.shape
     f = feat.reshape(n, h * w, c)
     return jnp.einsum("nic,nid->ncd", f, f) / (c * h * w)
+
+
+# ---------------------------------------------------------------------------
+# NNFM: nearest-neighbor feature matching (reference lib/sr_loss.py:9-188;
+# registered by the reference drivers but disabled in the published configs)
+# ---------------------------------------------------------------------------
+
+def nn_feature_match_loss(feat_x, feat_gt, block: int = 8192):
+    """Mean cosine distance from each x feature to its nearest gt feature
+    (argmin_cos_distance + nn_feat_replace semantics, lib/sr_loss.py:9-67).
+
+    feat_x/feat_gt: [N, H, W, C].
+    """
+    def flat_norm(f):
+        v = f.reshape(-1, f.shape[-1])
+        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
+
+    x = flat_norm(feat_x)
+    g = flat_norm(jax.lax.stop_gradient(feat_gt))
+    # cos similarity matrix in blocks to bound memory
+    n = x.shape[0]
+    pad = (-n) % block
+    xp = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], 0) if pad else x
+
+    def body(_, xb):
+        sim = xb @ g.T
+        return None, jnp.max(sim, axis=-1)
+
+    _, best = jax.lax.scan(body, None, xp.reshape(-1, block, x.shape[1]))
+    best = best.reshape(-1)[:n]
+    return jnp.mean(1.0 - best)
+
+
+class NNFMLoss:
+    """VGG19 feature losses with selectable terms ('nnfm_loss', 'gram_loss',
+    'content_loss'), mirroring the reference NNFMLoss.forward
+    (lib/sr_loss.py:70-188). Uses the same gated pretrained-VGG19 tower as
+    :class:`PerceptualLoss`."""
+
+    def __init__(self, layers: Sequence[str] = ("conv3_4", "conv4_4"),
+                 vgg_params=None, allow_random_vgg: bool = False):
+        self.layers = tuple(layers)
+        self.model = VGG19Features(layers=self.layers)
+        if vgg_params is None:
+            path = find_vgg19_weights()
+            if path is not None:
+                vgg_params = import_vgg19_torch(path)
+            elif allow_random_vgg:
+                vgg_params = self.model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+                )["params"]
+            else:
+                raise FileNotFoundError("No pretrained VGG19 weights found.")
+        self.params = vgg_params
+
+    def __call__(self, outputs, styles, loss_names=("nnfm_loss",)):
+        fx = self.model.apply({"params": self.params}, outputs)
+        fs = self.model.apply({"params": self.params}, styles)
+        losses = {k: 0.0 for k in loss_names}
+        for name in self.layers:
+            a, b = fx[name], fs[name]
+            if "nnfm_loss" in losses:
+                losses["nnfm_loss"] += nn_feature_match_loss(a, b)
+            if "gram_loss" in losses:
+                losses["gram_loss"] += jnp.mean((_gram(a) - _gram(b)) ** 2)
+            if "content_loss" in losses:
+                losses["content_loss"] += jnp.mean((a - b) ** 2)
+        return losses

