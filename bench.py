@@ -70,7 +70,15 @@ def main():
         )
         return out["rgb_feature"], out["depth"]
 
+    from fourk_nerf_tpu.ops import plane_sweep
+
     def encode_frame():
+        if ndc_planes:
+            out = plane_sweep.render_frame(
+                cfg, params, buffers, H, W, K, c2w[:3, :4], stepsize=1.0, bg=1.0,
+                tile=32, patch=48,
+            )
+            return (out["rgb_feature"][None], out["depth"][None, ..., None])
         feats, depths = [], []
         for i in range(n_chunks):
             s = i * chunk

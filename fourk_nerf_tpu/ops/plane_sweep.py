@@ -71,100 +71,107 @@ def _hat_weights(pos, offset, P: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(rel))
 
 
-def render_tile(packed, act_shift, a, b, viewdirs, mlp_params, *, cfg, interval,
-                patch: int, k0_dim: int, bg: float, act):
-    """Render one tile of rays ([R] flattened) against all Z planes.
+def sweep_all_tiles(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params, *,
+                    cfg, interval, patch: int, k0_dim: int, bg: float, act,
+                    use_bf16: bool = True):
+    """Plane-outer sweep: each depth plane is read from HBM exactly once; all
+    ray tiles advance together. Per plane: batched patch extraction (one
+    dynamic-slice per tile), separable hat-weight interpolation as batched
+    MXU matmuls, MLP, and an in-order transmittance update carried across the
+    scan. Traffic ~= grid size + T*Z patches instead of T*Z full planes.
 
-    Returns (rgb [R,3], depth [R], alphainv_last [R]).
+    a_tiles/b_tiles: [T, R, 2] affine xy coefficients; vd_tiles: [T, R, 3].
+    Returns (rgb [T,R,3], depth [T,R], alphainv_last [T,R]).
     """
     Z, X, Y, Cp = packed.shape
-    R = a.shape[0]
-    viewdir_emb = ray_ops.positional_encoding(viewdirs, cfg.viewbase_pe)  # [R, 3+6*pe]
+    T, R, _ = a_tiles.shape
+    mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    viewdir_emb = ray_ops.positional_encoding(vd_tiles, cfg.viewbase_pe)  # [T,R,E]
 
     def body(carry, inp):
-        t_cum, rgb_acc, depth_acc, alive = carry
-        plane, shift_k, k = inp
-        pos = a + b * k  # [R,2]
-        # patch origin: tile min corner with a 1-texel guard, clamped
-        ox = jnp.clip(jnp.floor(jnp.min(pos[:, 0])).astype(jnp.int32) - 1, 0, X - patch)
-        oy = jnp.clip(jnp.floor(jnp.min(pos[:, 1])).astype(jnp.int32) - 1, 0, Y - patch)
-        patch_vals = jax.lax.dynamic_slice(plane, (ox, oy, 0), (patch, patch, Cp))
+        t_cum, rgb_acc, depth_acc, alive = carry  # [T,R] / [T,R,3]
+        plane, shift_k, k = inp  # [X,Y,Cp], [], []
+        pos = a_tiles + b_tiles * k  # [T,R,2]
 
-        wx = _hat_weights(pos[:, 0], ox.astype(pos.dtype), patch)  # [R,P]
-        wy = _hat_weights(pos[:, 1], oy.astype(pos.dtype), patch)  # [R,P]
-        # separable contraction: [R,P] @ [P, P*Cp] -> [R,P,Cp]; then per-ray y
-        tmp = jnp.einsum("rp,pqc->rqc", wx, patch_vals,
-                         preferred_element_type=jnp.float32)
-        samp = jnp.einsum("rq,rqc->rc", wy, tmp)  # [R,Cp]
+        ox = jnp.clip(jnp.floor(jnp.min(pos[..., 0], axis=1)).astype(jnp.int32) - 1,
+                      0, X - patch)  # [T]
+        oy = jnp.clip(jnp.floor(jnp.min(pos[..., 1], axis=1)).astype(jnp.int32) - 1,
+                      0, Y - patch)
+        patches = jax.vmap(
+            lambda x0, y0: jax.lax.dynamic_slice(plane, (x0, y0, 0), (patch, patch, Cp))
+        )(ox, oy)  # [T,P,P,Cp]
 
-        density = samp[:, 0]
-        feat = samp[:, 1:1 + k0_dim]
+        rel_x = pos[..., 0] - ox[:, None].astype(pos.dtype)
+        rel_y = pos[..., 1] - oy[:, None].astype(pos.dtype)
+        taps = jnp.arange(patch, dtype=pos.dtype)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x[..., None] - taps))  # [T,R,P]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y[..., None] - taps))
+
+        tmp = jnp.einsum(
+            "trp,tpqc->trqc", wx.astype(mm_dtype), patches.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        samp = jnp.einsum("trq,trqc->trc", wy, tmp)  # [T,R,Cp]
+
+        density = samp[..., 0]
+        feat = samp[..., 1:1 + k0_dim]
         alpha = render.raw2alpha(density, shift_k, interval)
-        # in-bbox validity in xy (z is per-plane exact): reference masks
-        # out-of-bbox samples to alpha=0 (lib/dmpigo.py:281-284)
         inb = (
-            (pos[:, 0] >= 0) & (pos[:, 0] <= X - 1)
-            & (pos[:, 1] >= 0) & (pos[:, 1] <= Y - 1)
+            (pos[..., 0] >= 0) & (pos[..., 0] <= X - 1)
+            & (pos[..., 1] >= 0) & (pos[..., 1] <= Y - 1)
         )
         alpha = jnp.where(inb, alpha, 0.0)
         if cfg.fast_color_thres > 0:
             alpha = jnp.where(alpha > cfg.fast_color_thres, alpha, 0.0)
         alpha = jnp.where(alive, alpha, 0.0)
-        w = t_cum * alpha
-        if cfg.fast_color_thres > 0:
-            w = jnp.where(w > cfg.fast_color_thres, w, 0.0)
 
-        pe_spa_z = 2.0 * k / (Z - 1) - 1.0  # flipped zyx, lib/dmpigo.py:338
         pe_spa = jnp.stack([
-            jnp.full((R,), pe_spa_z, dtype=samp.dtype),
-            pos[:, 1] / (Y - 1) * 2.0 - 1.0,
-            pos[:, 0] / (X - 1) * 2.0 - 1.0,
+            jnp.full((T, R), 2.0 * k / (Z - 1) - 1.0, dtype=samp.dtype),
+            pos[..., 1] / (Y - 1) * 2.0 - 1.0,
+            pos[..., 0] / (X - 1) * 2.0 - 1.0,
         ], axis=-1)
         pe_emb = ray_ops.positional_encoding(pe_spa, cfg.spatial_pe)
         rgb_feat = jnp.concatenate([feat, pe_emb, viewdir_emb], axis=-1)
         rgb_raw = jax.nn.sigmoid(common.mlp_apply(mlp_params, rgb_feat, act))
 
-        rgb_acc = rgb_acc + w[:, None] * rgb_raw
-        s_k = (k + 0.5) / Z
-        depth_acc = depth_acc + w * s_k
+        w = t_cum * alpha
+        if cfg.fast_color_thres > 0:
+            w = jnp.where(w > cfg.fast_color_thres, w, 0.0)
+        rgb_acc = rgb_acc + w[..., None] * rgb_raw
+        depth_acc = depth_acc + w * ((k + 0.5) / Z)
         t_new = t_cum * (1.0 - alpha)
         alive_new = alive & (t_new >= render.EARLY_TERM_THRES)
         return (t_new, rgb_acc, depth_acc, alive_new), None
 
     init = (
-        jnp.ones((R,), dtype=jnp.float32),
-        jnp.zeros((R, 3), dtype=jnp.float32),
-        jnp.zeros((R,), dtype=jnp.float32),
-        jnp.ones((R,), dtype=bool),
+        jnp.ones((T, R), dtype=jnp.float32),
+        jnp.zeros((T, R, 3), dtype=jnp.float32),
+        jnp.zeros((T, R), dtype=jnp.float32),
+        jnp.ones((T, R), dtype=bool),
     )
     ks = jnp.arange(Z, dtype=jnp.float32)
     (t_cum, rgb_acc, depth_acc, _alive), _ = jax.lax.scan(
         body, init, (packed, act_shift, ks)
     )
-    rgb = rgb_acc + t_cum[:, None] * bg
+    rgb = rgb_acc + t_cum[..., None] * bg
     return rgb, depth_acc, t_cum
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "bg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "bg", "use_bf16"))
 def _sweep_tiles(cfg, params, buffers, a_tiles, b_tiles, vd_tiles, *,
-                 interval: float, patch: int, bg: float):
+                 interval: float, patch: int, bg: float, use_bf16: bool = True):
     packed, act_shift = pack_grids(cfg, params, buffers)
     act = common.activation(cfg.act_type)
-    tile_fn = functools.partial(
-        render_tile, packed, act_shift, cfg=cfg, interval=interval, patch=patch,
-        k0_dim=cfg.k0_dim, bg=bg, act=act,
+    return sweep_all_tiles(
+        packed, act_shift, a_tiles, b_tiles, vd_tiles, params["rgbnet"],
+        cfg=cfg, interval=interval, patch=patch, k0_dim=cfg.k0_dim,
+        bg=bg, act=act, use_bf16=use_bf16,
     )
-
-    def one(ab_vd):
-        a_i, b_i, vd_i = ab_vd
-        return tile_fn(a_i, b_i, vd_i, params["rgbnet"])
-
-    return jax.lax.map(one, (a_tiles, b_tiles, vd_tiles))
 
 
 def render_frame(cfg, params, buffers, H: int, W: int, K, c2w, *, stepsize: float,
                  bg: float, tile: int = 32, patch: int = 32, inverse_y=False,
-                 flip_x=False, flip_y=False):
+                 flip_x=False, flip_y=False, use_bf16: bool = True):
     """Full-frame gather-free render. Requires the plane-aligned conditions
     (dmpigo.plane_aligned_ok). Returns dict with rgb/depth/alphainv maps."""
     from fourk_nerf_tpu.models import dmpigo
@@ -214,7 +221,7 @@ def render_frame(cfg, params, buffers, H: int, W: int, K, c2w, *, stepsize: floa
     interval = stepsize * cfg.voxel_size_ratio
     rgb, depth, ail = _sweep_tiles(
         cfg, params, buffers, a_tiles, b_tiles, vd_tiles,
-        interval=interval, patch=patch, bg=float(bg),
+        interval=interval, patch=patch, bg=float(bg), use_bf16=use_bf16,
     )
 
     def untile(x):

@@ -246,6 +246,19 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
     if model_mod is dmpigo and "ndc_planes" not in rk:
         rk["ndc_planes"] = dmpigo.plane_aligned_ok(model_cfg, rk["stepsize"], cfg.data.ndc)
 
+    # gather-free plane-sweep full-frame path (ops/plane_sweep.py) when the
+    # NDC plane-alignment conditions hold -- ~15x faster than chunked gathers
+    use_sweep = bool(rk.get("ndc_planes")) and model_mod is dmpigo and "rgbnet" in params
+
+    def sweep_frame(H, W, K_i, c2w):
+        from fourk_nerf_tpu.ops import plane_sweep
+
+        return plane_sweep.render_frame(
+            model_cfg, params, buffers, H, W, K_i, c2w,
+            stepsize=rk["stepsize"], bg=rk["bg"],
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+        )
+
     @jax.jit
     def fwd(ro, rd, vd):
         out = model_mod.forward(
@@ -259,6 +272,29 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
     psnrs, ssims, lpips_vgg, frame_times = [], [], [], []
     for fi, c2w in enumerate(render_poses):
         H, W = int(HW[fi][0]), int(HW[fi][1])
+        if use_sweep:
+            try:
+                t0 = time.time()
+                out_f = sweep_frame(H, W, Ks[fi], c2w[:3, :4])
+                rgb = np.asarray(out_f["rgb_marched"])
+                frame_times.append(time.time() - t0)
+                rgbs.append(rgb)
+                feats.append(np.asarray(out_f["rgb_feature"]))
+                depths.append(np.asarray(out_f["depth"]))
+                bgmaps.append(np.asarray(out_f["alphainv_last"]))
+                if gt_imgs is not None:
+                    gt = np.asarray(gt_imgs[fi])
+                    psnrs.append(metrics.psnr(rgb, gt))
+                    if eval_ssim:
+                        ssims.append(metrics.rgb_ssim(rgb, gt))
+                    if eval_lpips_vgg:
+                        lp = metrics.rgb_lpips(gt, rgb, "vgg")
+                        if lp is not None:
+                            lpips_vgg.append(lp)
+                continue
+            except ValueError as e:  # footprint guard: fall back to gathers
+                print(f"render_viewpoints: plane-sweep unavailable ({e}); chunked path")
+                use_sweep = False
         ro, rd, vd = ray_ops.get_rays_of_a_view(
             H, W, Ks[fi], c2w[:3, :4], ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
             flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,

@@ -33,7 +33,7 @@ def test_plane_sweep_matches_forward():
     H, W = 24, 32
     K, c2w = _cam(H, W)
     out = plane_sweep.render_frame(
-        cfg, params, buffers, H, W, K, c2w, stepsize=1.0, bg=0.5, tile=8, patch=24
+        cfg, params, buffers, H, W, K, c2w, stepsize=1.0, bg=0.5, tile=8, patch=24, use_bf16=False
     )
     # reference path on the same rays
     ro, rd, vd = ray_ops.get_rays_of_a_view(H, W, K, c2w, ndc=True, inverse_y=False,
