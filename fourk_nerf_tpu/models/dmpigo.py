@@ -284,6 +284,44 @@ def update_occupancy_cache(cfg: Config, params: dict, buffers: dict) -> dict:
     return {**buffers, "mask_cache": new_mask}
 
 
+def update_occupancy_cache_lt_nviews(cfg: Config, buffers: dict, rays_o_views,
+                                     rays_d_views, stepsize: float,
+                                     maskout_lt_nviews: int) -> dict:
+    """AND the cache with voxels touched by at least ``maskout_lt_nviews``
+    training views (/root/reference/lib/dmpigo.py:228-246). Per view, the
+    touch-count is the gradient of a ones-grid sum over the view's sample
+    points (trilinear splat), thresholded at > 1."""
+    from fourk_nerf_tpu.ops import grid_sample
+
+    xyz_min, xyz_max = _xyz_minmax(cfg)
+    X, Y, Z = cfg.world_size
+    K = cfg.n_samples(stepsize)
+    ones = jnp.ones((X, Y, Z, 1), dtype=jnp.float32)
+
+    def weightsum(g, ro, rd):
+        pts = render.sample_ndc_pts_on_rays(ro, rd, K)
+        return jnp.sum(grid_sample.grid_query(g, pts, xyz_min, xyz_max))
+
+    grad_fn = jax.jit(jax.grad(weightsum))
+    count = jnp.zeros((X, Y, Z, 1), dtype=jnp.float32)
+    for ro_v, rd_v in zip(rays_o_views, rays_d_views):
+        ro = jnp.asarray(ro_v).reshape(-1, 3)
+        rd = jnp.asarray(rd_v).reshape(-1, 3)
+        g = jnp.zeros_like(count)
+        for s in range(0, ro.shape[0], 8192):
+            g = g + grad_fn(ones, ro[s:s + 8192], rd[s:s + 8192])
+        count = count + (g > 1).astype(jnp.float32)
+
+    mask = buffers["mask_cache"]
+    if mask.shape == (X, Y, Z):
+        new_mask = mask & (count[..., 0] >= maskout_lt_nviews)
+    else:  # resample the count onto the cache resolution (nearest)
+        xyz = _grid_xyz(cfg, mask.shape)
+        cnt = grid_sample.grid_query(count, xyz, xyz_min, xyz_max)[..., 0]
+        new_mask = mask & (cnt >= maskout_lt_nviews)
+    return {**buffers, "mask_cache": new_mask}
+
+
 def scale_volume_grid(cfg: Config, params: dict, buffers: dict, num_voxels: int,
                       mpi_depth: int):
     """Progressive grid upscaling (/root/reference/lib/dmpigo.py:189-211).

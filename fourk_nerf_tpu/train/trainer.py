@@ -453,6 +453,12 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
             mask = mask & ~(cnt_np <= 2)
             buffers = {**buffers, "mask_cache": jnp.asarray(mask)}
 
+    if cfg_train.get("maskout_lt_nviews", 0) > 0 and model_mod is dmpigo:
+        buffers = dmpigo.update_occupancy_cache_lt_nviews(
+            model_cfg, buffers, ray_lists["rays_o"], ray_lists["rays_d"],
+            cfg_model.stepsize, cfg_train.maskout_lt_nviews,
+        )
+
     # --- optimizer + jitted step -------------------------------------------
     base_lrs = optim.build_group_lrs(cfg_train, params)
     skip_zero = frozenset(cfg_train.skip_zero_grad_fields)

@@ -60,6 +60,22 @@ def rgb_ssim(img0, img1, max_val=1.0, filter_size=11, filter_sigma=1.5, k1=0.01,
     return ssim_map if return_map else float(np.mean(ssim_map))
 
 
+def visualize_depth(depth, minmax=None):
+    """Depth map -> JET-colormapped uint8 image (reference lib/utils.py:68-83)."""
+    import cv2
+
+    x = np.nan_to_num(np.asarray(depth))
+    if minmax is None:
+        positive = x[x > 0]
+        mi = positive.min() if positive.size else 0.0
+        ma = x.max()
+    else:
+        mi, ma = minmax
+    x = (x - mi) / (ma - mi + 1e-8)
+    x = (255 * np.clip(x, 0, 1)).astype(np.uint8)
+    return cv2.applyColorMap(x, cv2.COLORMAP_JET)
+
+
 _LPIPS_CACHE: dict = {}
 
 

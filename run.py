@@ -84,6 +84,26 @@ def main():
 
     from fourk_nerf_tpu.train import trainer
 
+    if args.export_coarse_only:
+        # dump the coarse alpha volume for tools/vis_export.py volume mode
+        # (reference run.py:726-739)
+        from fourk_nerf_tpu.models import dvgo
+        from fourk_nerf_tpu.ops import render as render_ops
+        from fourk_nerf_tpu.train import checkpoints
+
+        ckpt = os.path.join(rundir, "coarse_last.npz")
+        kwargs, params, buffers, *_ = checkpoints.load_checkpoint(ckpt)
+        model_cfg = dvgo.make_config(**kwargs)
+        alpha = np.asarray(render_ops.raw2alpha(
+            params["density"][..., 0], model_cfg.act_shift, model_cfg.voxel_size_ratio
+        ))
+        np.savez_compressed(
+            args.export_coarse_only, alpha=alpha,
+            xyz_min=np.asarray(model_cfg.xyz_min), xyz_max=np.asarray(model_cfg.xyz_max),
+        )
+        print(f"wrote {args.export_coarse_only}")
+        return
+
     if args.export_bbox_and_cams_only:
         xyz_min, xyz_max = trainer.compute_bbox_by_cam_frustrm(
             cfg, data_dict["HW"], data_dict["Ks"], data_dict["poses"],
