@@ -251,6 +251,44 @@ def tile_process(apply_fn, params, img, cond, tile_size: int, tile_pad: int = 10
     return out[None]
 
 
+def enhance(apply_fn, params, img, cond=None, *, scale: int = 4, pre_pad: int = 10,
+            mod: int = 8, tile_size: int = 0, tile_pad: int = 10):
+    """Standalone SR inference with pre-padding and modulus padding.
+
+    Equivalent of the reference's ``RealESRGANer.enhance`` helper
+    (/root/reference/lib/utils.py:152-345): reflect-pad by ``pre_pad``, pad to a
+    multiple of ``mod``, run the network (tiled when ``tile_size`` > 0), then
+    crop both pads from the upscaled output.
+
+    Args:
+      apply_fn: ``(params, x, cond) -> y`` NHWC (pass-through cond if None).
+      img: ``[1, H, W, C]`` in [0, 1].
+    """
+    _, H, W, C = img.shape
+    fn = apply_fn if cond is not None else (lambda p, x, c: apply_fn(p, x))
+    x = jnp.pad(img, ((0, 0), (pre_pad, pre_pad), (pre_pad, pre_pad), (0, 0)),
+                mode="reflect")
+    c = (
+        jnp.pad(cond, ((0, 0), (pre_pad, pre_pad), (pre_pad, pre_pad), (0, 0)),
+                mode="reflect") if cond is not None else None
+    )
+    h, w = x.shape[1:3]
+    mh, mw = (-h) % mod, (-w) % mod
+    x = jnp.pad(x, ((0, 0), (0, mh), (0, mw), (0, 0)), mode="reflect")
+    if c is not None:
+        c = jnp.pad(c, ((0, 0), (0, mh), (0, mw), (0, 0)), mode="reflect")
+    else:
+        c = jnp.zeros_like(x[..., :1])
+    if tile_size > 0:
+        y = tile_process(fn, params, x, c, tile_size=tile_size, tile_pad=tile_pad,
+                         scale=scale)
+    else:
+        y = np.asarray(fn(params, x, c))
+    y = y[:, : (h * scale), : (w * scale)]  # remove mod pad
+    p = pre_pad * scale
+    return y[:, p:p + H * scale, p:p + W * scale]
+
+
 # ---------------------------------------------------------------------------
 # Torch checkpoint import: RealESRNet_x4plus.pth init / reference .pth saves
 # ---------------------------------------------------------------------------
