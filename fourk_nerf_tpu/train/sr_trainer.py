@@ -63,7 +63,8 @@ def make_patch_sampler(n_views: int, H: int, W: int, patch: int, rng: np.random.
 
 def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwargs,
                        skip_zero_grad, sr_model, d_model, n_views: int,
-                       patch: int, sr_ratio: int, perceptual=None):
+                       patch: int, sr_ratio: int, perceptual=None,
+                       d_kind: str = "Unet"):
     weight_tv_density = float(cfg_train.weight_tv_density)
     weight_tv_k0 = float(cfg_train.weight_tv_k0)
     use_gan = cfg_train.get("weight_gan", 0) > 0
@@ -83,12 +84,30 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
             conds.append(jax.lax.stop_gradient(vd.reshape(1, pr, pc, -1)))
         return jnp.concatenate(conds, axis=-1)
 
+    def d_cond(viewdirs, w2c):
+        """Discriminator conditioning (run_sr.py:861-867): flattened w2c for
+        the pose variant, viewdir PE map for the viewdir variant."""
+        if d_kind == "Unet_pose":
+            return w2c.reshape(1, 9)
+        if d_kind == "Unet_viewdir":
+            vd = ray_ops.positional_encoding(viewdirs, 10)
+            return jax.lax.stop_gradient(vd.reshape(1, patch, patch, -1))
+        return None
+
+    def d_apply(dp, ds, x, cond, update_sn):
+        if cond is None:
+            return d_model.apply({"params": dp, "spectral": ds}, x,
+                                 update_sn=update_sn, mutable=["spectral"])
+        return d_model.apply({"params": dp, "spectral": ds}, x, cond,
+                             update_sn=update_sn, mutable=["spectral"])
+
     @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"))
     def train_step(enc_params, buffers, enc_opt, sr_params, sr_opt, d_params, d_state,
                    d_opt, batch, lrs, key, *, apply_tv: bool, tv_dense: bool):
-        rays_o, rays_d, viewdirs, target, target_hr = batch
+        rays_o, rays_d, viewdirs, target, target_hr, w2c = batch
         n_rays = rays_o.shape[0]
         pr = pc = patch
+        cond_d = d_cond(viewdirs, w2c) if use_gan else None
 
         def g_loss_fn(ep, sp):
             out = model_mod.forward(
@@ -121,10 +140,7 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
                 terms["loss_style"] = loss_style
                 loss = loss + loss_pcp + loss_style
             if use_gan:
-                fake_g, _ = d_model.apply(
-                    {"params": d_params, "spectral": d_state}, rgb_sr,
-                    update_sn=False, mutable=["spectral"],
-                )
+                fake_g, _ = d_apply(d_params, d_state, rgb_sr, cond_d, False)
                 loss_g = sr_losses.gan_loss(
                     fake_g, True, is_disc=False, loss_weight=cfg_train.weight_gan
                 )
@@ -177,15 +193,10 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
         new_d, new_d_state, new_d_opt, d_terms = d_params, d_state, d_opt, {}
         if use_gan:
             def d_loss_fn(dp, ds):
-                real_d, ds1 = d_model.apply(
-                    {"params": dp, "spectral": ds}, rgb_hr, update_sn=True,
-                    mutable=["spectral"],
-                )
+                real_d, ds1 = d_apply(dp, ds, rgb_hr, cond_d, True)
                 l_real = sr_losses.gan_loss(real_d, True, is_disc=True)
-                fake_d, ds2 = d_model.apply(
-                    {"params": dp, "spectral": ds1["spectral"]},
-                    jax.lax.stop_gradient(rgb_sr), update_sn=True, mutable=["spectral"],
-                )
+                fake_d, ds2 = d_apply(dp, ds1["spectral"],
+                                      jax.lax.stop_gradient(rgb_sr), cond_d, True)
                 l_fake = sr_losses.gan_loss(fake_d, False, is_disc=True)
                 return l_real + l_fake, (l_real, l_fake, ds2["spectral"])
 
@@ -288,10 +299,22 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
     use_gan = cfg_train.get("weight_gan", 0) > 0
     d_params, d_state = None, {}
     d_model = None
+    d_kind = str(cfg_model.get("d_model", "Unet"))
     if use_gan:
-        d_model = sr_unetdisc.UNetDiscriminatorSN(num_feat=64)
+        # discriminator flavor switch (run_sr.py:681-686)
         key, k_d = jax.random.split(key)
-        d_vars = d_model.init(k_d, jnp.zeros((1, patch * sr_ratio, patch * sr_ratio, 3)))
+        hr = patch * sr_ratio
+        if d_kind == "Unet_pose":
+            d_model = sr_unetdisc.UNetDiscriminatorSNPose(num_feat=64, cmap_dim=32)
+            d_vars = d_model.init(k_d, jnp.zeros((1, hr, hr, 3)), jnp.zeros((1, 9)))
+        elif d_kind == "Unet_viewdir":
+            d_model = sr_unetdisc.UNetDiscriminatorSNViewdir(num_feat=64, cmap_dim=64)
+            d_vars = d_model.init(
+                k_d, jnp.zeros((1, hr, hr, 3)), jnp.zeros((1, patch, patch, 63))
+            )
+        else:
+            d_model = sr_unetdisc.UNetDiscriminatorSN(num_feat=64)
+            d_vars = d_model.init(k_d, jnp.zeros((1, hr, hr, 3)))
         d_params, d_state = d_vars["params"], d_vars["spectral"]
 
     render_kwargs = {
@@ -331,7 +354,11 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         model_mod, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
         skip_zero_grad=skip_zero, sr_model=sr_model, d_model=d_model,
         n_views=V, patch=patch, sr_ratio=sr_ratio, perceptual=perceptual,
+        d_kind=d_kind,
     )
+
+    w2c_all = np.asarray(data_dict.get("w2c", np.zeros((len(data_dict["poses"]), 3, 3))))
+    w2c_train = jnp.asarray(w2c_all[i_train].astype(np.float32))
 
     gather = jax.jit(
         lambda d, hr, v, r, c: (
@@ -375,10 +402,11 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                 model_mod, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
                 skip_zero_grad=skip_zero, sr_model=sr_model, d_model=d_model,
                 n_views=V, patch=patch, sr_ratio=sr_ratio, perceptual=perceptual,
+                d_kind=d_kind,
             )
 
         v, r, c = sample_patch()
-        batch = gather(dev, dev_hr, v, r, c)
+        batch = (*gather(dev, dev_hr, v, r, c), w2c_train[v])
 
         decayed = lambda lr0: optim.group_lr(lr0, steps_since_reset, cfg_train.lrate_decay)
         lrs = {

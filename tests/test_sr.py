@@ -174,3 +174,22 @@ def test_sftnet_torch_import_roundtrip():
     merged = sr_esrnet.merge_params(params, imported)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_pose_and_viewdir_discriminators():
+    import jax
+    import jax.numpy as jnp
+
+    dp = sr_unetdisc.UNetDiscriminatorSNPose(num_feat=8, cmap_dim=16)
+    v = dp.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 9)))
+    out, _ = dp.apply({"params": v["params"], "spectral": v["spectral"]},
+                      jnp.ones((2, 32, 32, 3)), jnp.ones((2, 9)),
+                      update_sn=True, mutable=["spectral"])
+    assert out.shape == (2, 1)
+
+    dv = sr_unetdisc.UNetDiscriminatorSNViewdir(num_feat=8, cmap_dim=16)
+    v = dv.init(jax.random.PRNGKey(1), jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 8, 8, 63)))
+    out, _ = dv.apply({"params": v["params"], "spectral": v["spectral"]},
+                      jnp.ones((2, 32, 32, 3)), jnp.ones((2, 8, 8, 63)),
+                      update_sn=True, mutable=["spectral"])
+    assert out.shape == (2, 1)
