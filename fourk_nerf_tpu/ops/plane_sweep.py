@@ -157,6 +157,147 @@ def sweep_all_tiles(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params, *
     return rgb, depth_acc, t_cum
 
 
+def sweep_patch_train(cfg, params, buffers, rays_o, rays_d, viewdirs, *,
+                      stepsize: float, bg: float, patch_hw=None, key=None,
+                      rand_bkgd: bool = False, is_train: bool = True,
+                      patch: int = 48, use_bf16: bool = True, check: bool = True):
+    """Differentiable patch render via the plane sweep, for training.
+
+    Renders one pixel patch (``patch_hw = (pr, pc)``; rays flattened [R,3])
+    and returns the same dense dict as ``dmpigo.forward`` (weights/raw_rgb/s
+    as [R, K]) so the loss assembly is unchanged -- but the grid reads are
+    dynamic-slice + matmul instead of scalar gathers, and gradients flow
+    through to density/k0/rgbnet (scan + matmul are natively differentiable).
+
+    The tile footprint must fit ``patch`` (checked against the true positions;
+    raises ValueError for the caller to fall back to the gather path).
+    """
+    from fourk_nerf_tpu.models import dmpigo
+
+    assert dmpigo.plane_aligned_ok(cfg, stepsize, ndc=True)
+    X, Y, Z = cfg.world_size
+    xyz_min = jnp.asarray(cfg.xyz_min)
+    xyz_max = jnp.asarray(cfg.xyz_max)
+    sizes = jnp.asarray([X, Y], dtype=jnp.float32)
+    a, b = _affine_coeffs(rays_o, rays_d, xyz_min, xyz_max, sizes, Z)
+
+    if check:  # host-side; skip when called under an outer jit
+        a_np, b_np = np.asarray(a), np.asarray(b)
+        for k_ext in (0.0, float(Z - 1)):
+            p = a_np + b_np * k_ext
+            spread = p.max(0) - p.min(0)
+            if (spread > patch - 3).any():
+                raise ValueError(f"patch footprint {spread} exceeds {patch}")
+
+    interval = stepsize * cfg.voxel_size_ratio
+    out = _sweep_patch_jit(
+        cfg, params, buffers, a, b, viewdirs,
+        interval=float(interval), patch=patch, use_bf16=use_bf16,
+    )
+    weights, raw_rgb, t_cum, rgb_feature, depth = out
+    R = rays_o.shape[0]
+    if rand_bkgd and is_train:
+        assert key is not None
+        noise = jax.random.uniform(key, (R, 3), dtype=rgb_feature.dtype)
+        rgb_marched = rgb_feature + t_cum[:, None] * noise
+    else:
+        rgb_marched = rgb_feature + t_cum[:, None] * bg
+    s = jnp.broadcast_to(
+        ((jnp.arange(Z, dtype=jnp.float32) + 0.5) / Z)[None, :], (R, Z)
+    )
+    return {
+        "alphainv_last": t_cum,
+        "weights": weights,
+        "rgb_marched": rgb_marched,
+        "rgb_feature": rgb_feature,
+        "raw_rgb": raw_rgb,
+        "n_max": Z,
+        "s": s,
+        "depth": jax.lax.stop_gradient(jnp.sum(weights * s, axis=-1)),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "use_bf16"))
+def _sweep_patch_jit(cfg, params, buffers, a, b, viewdirs, *, interval: float,
+                     patch: int, use_bf16: bool):
+    packed, act_shift = pack_grids(cfg, params, buffers)
+    act = common.activation(cfg.act_type)
+    # single tile: add the T axis
+    w_t, t_cum_t, feat_t, raw_t = sweep_all_tiles_train(
+        packed, act_shift, a[None], b[None], viewdirs[None], params["rgbnet"],
+        cfg=cfg, interval=interval, patch=patch, k0_dim=cfg.k0_dim, act=act,
+        use_bf16=use_bf16,
+    )
+    return w_t[0], raw_t[0], t_cum_t[0], feat_t[0], None
+
+
+def sweep_all_tiles_train(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params,
+                          *, cfg, interval, patch: int, k0_dim: int, act,
+                          use_bf16: bool = True):
+    """Like :func:`sweep_all_tiles` but additionally emits per-sample weights
+    and raw rgb ([T, R, Z] / [T, R, Z, 3]) for the training losses."""
+    Z, X, Y, Cp = packed.shape
+    T, R, _ = a_tiles.shape
+    mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    viewdir_emb = ray_ops.positional_encoding(vd_tiles, cfg.viewbase_pe)
+
+    def body(carry, inp):
+        t_cum, alive = carry
+        plane, shift_k, k = inp
+        pos = a_tiles + b_tiles * k
+        ox = jnp.clip(jnp.floor(jnp.min(pos[..., 0], axis=1)).astype(jnp.int32) - 1,
+                      0, X - patch)
+        oy = jnp.clip(jnp.floor(jnp.min(pos[..., 1], axis=1)).astype(jnp.int32) - 1,
+                      0, Y - patch)
+        patches = jax.vmap(
+            lambda x0, y0: jax.lax.dynamic_slice(plane, (x0, y0, 0), (patch, patch, Cp))
+        )(ox, oy)
+        taps = jnp.arange(patch, dtype=pos.dtype)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs((pos[..., 0] - ox[:, None].astype(pos.dtype))[..., None] - taps))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs((pos[..., 1] - oy[:, None].astype(pos.dtype))[..., None] - taps))
+        tmp = jnp.einsum("trp,tpqc->trqc", wx.astype(mm_dtype), patches.astype(mm_dtype),
+                         preferred_element_type=jnp.float32)
+        samp = jnp.einsum("trq,trqc->trc", wy, tmp)
+
+        density = samp[..., 0]
+        feat = samp[..., 1:1 + k0_dim]
+        alpha = render.raw2alpha(density, shift_k, interval)
+        inb = (
+            (pos[..., 0] >= 0) & (pos[..., 0] <= X - 1)
+            & (pos[..., 1] >= 0) & (pos[..., 1] <= Y - 1)
+        )
+        alpha = jnp.where(inb, alpha, 0.0)
+        if cfg.fast_color_thres > 0:
+            alpha = jnp.where(alpha > cfg.fast_color_thres, alpha, 0.0)
+        alpha = jnp.where(alive, alpha, 0.0)
+
+        pe_spa = jnp.stack([
+            jnp.full((T, R), 2.0 * k / (Z - 1) - 1.0, dtype=samp.dtype),
+            pos[..., 1] / (Y - 1) * 2.0 - 1.0,
+            pos[..., 0] / (X - 1) * 2.0 - 1.0,
+        ], axis=-1)
+        pe_emb = ray_ops.positional_encoding(pe_spa, cfg.spatial_pe)
+        rgb_feat = jnp.concatenate([feat, pe_emb, viewdir_emb], axis=-1)
+        rgb_raw = jax.nn.sigmoid(common.mlp_apply(mlp_params, rgb_feat, act))
+
+        w = t_cum * alpha
+        if cfg.fast_color_thres > 0:
+            w = jnp.where(w > cfg.fast_color_thres, w, 0.0)
+        t_new = t_cum * (1.0 - alpha)
+        alive_new = alive & (t_new >= render.EARLY_TERM_THRES)
+        return (t_new, alive_new), (w, rgb_raw)
+
+    init = (jnp.ones((T, R), dtype=jnp.float32), jnp.ones((T, R), dtype=bool))
+    ks = jnp.arange(Z, dtype=jnp.float32)
+    (t_cum, _alive), (w_seq, rgb_seq) = jax.lax.scan(
+        body, init, (packed, act_shift, ks)
+    )
+    weights = jnp.moveaxis(w_seq, 0, -1)         # [T,R,Z]
+    raw_rgb = jnp.moveaxis(rgb_seq, 0, 2)        # [T,R,Z,3]
+    rgb_feature = jnp.sum(weights[..., None] * raw_rgb, axis=2)
+    return weights, t_cum, rgb_feature, raw_rgb
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "bg", "use_bf16"))
 def _sweep_tiles(cfg, params, buffers, a_tiles, b_tiles, vd_tiles, *,
                  interval: float, patch: int, bg: float, use_bf16: bool = True):

@@ -61,10 +61,28 @@ def make_patch_sampler(n_views: int, H: int, W: int, patch: int, rng: np.random.
 # the jitted joint G + D step
 # ---------------------------------------------------------------------------
 
+def sweep_patch_size_for(model_cfg, a_all, b_all, rows, cols, patch_px: int):
+    """Exact max footprint of any sampler patch across all views and both
+    sample extremes; returns a safe plane-sweep slice size (multiple of 8) or
+    None when it would not fit the grid. a_all/b_all: [V,H,W,2] numpy."""
+    Z = model_cfg.world_size[2]
+    spread = 0.0
+    for k in (0.0, float(Z - 1)):
+        p = a_all + b_all * k
+        for r in rows:
+            for c in cols:
+                blk = p[:, r:r + patch_px, c:c + patch_px].reshape(len(p), -1, 2)
+                spread = max(spread, float((blk.max(1) - blk.min(1)).max()))
+    size = int(np.ceil((spread + 4) / 8.0) * 8)
+    if size > min(model_cfg.world_size[0], model_cfg.world_size[1]):
+        return None
+    return max(size, 16)
+
+
 def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwargs,
                        skip_zero_grad, sr_model, d_model, n_views: int,
                        patch: int, sr_ratio: int, perceptual=None,
-                       d_kind: str = "Unet"):
+                       d_kind: str = "Unet", sweep_patch: int | None = None):
     weight_tv_density = float(cfg_train.weight_tv_density)
     weight_tv_k0 = float(cfg_train.weight_tv_k0)
     use_gan = cfg_train.get("weight_gan", 0) > 0
@@ -110,12 +128,22 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
         cond_d = d_cond(viewdirs, w2c) if use_gan else None
 
         def g_loss_fn(ep, sp):
-            out = model_mod.forward(
-                model_cfg, ep, buffers, rays_o, rays_d, viewdirs,
-                stepsize=rk["stepsize"], near=rk["near"], far=rk["far"], bg=rk["bg"],
-                rand_bkgd=rand_bkgd, is_train=True, key=key, render_depth=True,
-                ndc_planes=ndc_planes,
-            )
+            if sweep_patch is not None:
+                from fourk_nerf_tpu.ops import plane_sweep
+
+                out = plane_sweep.sweep_patch_train(
+                    model_cfg, ep, buffers, rays_o, rays_d, viewdirs,
+                    stepsize=rk["stepsize"], bg=rk["bg"], key=key,
+                    rand_bkgd=rand_bkgd, is_train=True, patch=sweep_patch,
+                    check=False,
+                )
+            else:
+                out = model_mod.forward(
+                    model_cfg, ep, buffers, rays_o, rays_d, viewdirs,
+                    stepsize=rk["stepsize"], near=rk["near"], far=rk["far"], bg=rk["bg"],
+                    rand_bkgd=rand_bkgd, is_train=True, key=key, render_depth=True,
+                    ndc_planes=ndc_planes,
+                )
             terms = {}
             # photometric L1 on the rendered LR features (run_sr.py:884-887)
             rgb_render = out["rgb_feature"]
@@ -342,6 +370,24 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
 
     sample_patch = make_patch_sampler(V, H, W, patch, rng)
 
+    # decide whether the G-step can render patches with the gather-free
+    # plane sweep (exact, massively faster on TPU)
+    sweep_patch = None
+    if render_kwargs.get("ndc_planes") and model_mod is dmpigo:
+        from fourk_nerf_tpu.ops import plane_sweep as ps
+
+        X, Y, Z = model_cfg.world_size
+        sizes = np.array([X, Y], dtype=np.float32)
+        xyz_min = np.asarray(model_cfg.xyz_min, dtype=np.float32)
+        xyz_max = np.asarray(model_cfg.xyz_max, dtype=np.float32)
+        a_all = (flat["rays_o"][..., :2] - xyz_min[:2]) / (xyz_max[:2] - xyz_min[:2]) * (sizes - 1)
+        b_all = flat["rays_d"][..., :2] / (xyz_max[:2] - xyz_min[:2]) * (sizes - 1) / (Z - 1)
+        rows = sorted({min(r, H - patch) for r in range(0, H, patch)})
+        cols = sorted({min(c, W - patch) for c in range(0, W, patch)})
+        sweep_patch = sweep_patch_size_for(model_cfg, a_all, b_all, rows, cols, patch)
+        print(f"sr: plane-sweep patch rendering "
+              f"{'ON (slice ' + str(sweep_patch) + ')' if sweep_patch else 'OFF (footprint too large)'}")
+
     # --- optimizers ---------------------------------------------------------
     base_lrs = optim.build_group_lrs(cfg_train, params)
     skip_zero = frozenset(cfg_train.skip_zero_grad_fields)
@@ -354,7 +400,7 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         model_mod, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
         skip_zero_grad=skip_zero, sr_model=sr_model, d_model=d_model,
         n_views=V, patch=patch, sr_ratio=sr_ratio, perceptual=perceptual,
-        d_kind=d_kind,
+        d_kind=d_kind, sweep_patch=sweep_patch,
     )
 
     w2c_all = np.asarray(data_dict.get("w2c", np.zeros((len(data_dict["poses"]), 3, 3))))
@@ -402,7 +448,7 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                 model_mod, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
                 skip_zero_grad=skip_zero, sr_model=sr_model, d_model=d_model,
                 n_views=V, patch=patch, sr_ratio=sr_ratio, perceptual=perceptual,
-                d_kind=d_kind,
+                d_kind=d_kind, sweep_patch=sweep_patch,
             )
 
         v, r, c = sample_patch()

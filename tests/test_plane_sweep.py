@@ -83,3 +83,58 @@ def test_footprint_guard_raises():
     except ValueError:
         raised = True
     assert raised
+
+
+def test_sweep_patch_train_matches_forward_values_and_grads():
+    """Training-path sweep: outputs AND gradients equal dmpigo.forward."""
+    from fourk_nerf_tpu.ops import plane_sweep
+
+    # larger xy grid so one 8x8-pixel patch's footprint fits the slice
+    cfg = dmpigo.make_config(
+        xyz_min=[-1.3, -1.2, -1.0], xyz_max=[1.3, 1.2, 1.0],
+        num_voxels=64 * 64 * 16, mpi_depth=16,
+        fast_color_thres=1.0 / 16 / 5, rgbnet_dim=6, rgbnet_width=16,
+    )
+    params, buffers = dmpigo.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    params["density"] = jnp.asarray(rng.normal(-1, 2, params["density"].shape).astype(np.float32))
+    params["k0"] = jnp.asarray(rng.normal(0, 1, params["k0"].shape).astype(np.float32))
+    # an 8x8 pixel patch of a 64x64 frame (real training samples patches of a
+    # much larger frame; a full frame spans the whole NDC frustum and can
+    # never fit one slice)
+    Hf = Wf = 64
+    K, c2w = _cam(Hf, Wf, f=60.0)
+    ro, rd, vd = ray_ops.get_rays_of_a_view(Hf, Wf, K, c2w, ndc=True, inverse_y=False,
+                                            flip_x=False, flip_y=False)
+    sl = np.s_[28:36, 28:36]
+    ro = jnp.asarray(np.asarray(ro)[sl].reshape(-1, 3))
+    rd = jnp.asarray(np.asarray(rd)[sl].reshape(-1, 3))
+    vd = jnp.asarray(np.asarray(vd)[sl].reshape(-1, 3))
+    target = jnp.asarray(np.random.default_rng(7).uniform(size=(64, 3)).astype(np.float32))
+
+    def loss_sweep(p):
+        out = plane_sweep.sweep_patch_train(
+            cfg, p, buffers, ro, rd, vd, stepsize=1.0, bg=0.5, patch=32,
+            use_bf16=False,
+        )
+        return (jnp.mean((out["rgb_marched"] - target) ** 2)
+                + jnp.sum(out["weights"] ** 2) * 1e-3
+                + jnp.mean(out["raw_rgb"] * out["weights"][..., None]))
+
+    def loss_fwd(p):
+        out = dmpigo.forward(cfg, p, buffers, ro, rd, vd, stepsize=1.0, bg=0.5,
+                             ndc_planes=True)
+        return (jnp.mean((out["rgb_marched"] - target) ** 2)
+                + jnp.sum(out["weights"] ** 2) * 1e-3
+                + jnp.mean(out["raw_rgb"] * out["weights"][..., None]))
+
+    v1, g1 = jax.value_and_grad(loss_sweep)(params)
+    v2, g2 = jax.value_and_grad(loss_fwd)(params)
+    assert np.allclose(float(v1), float(v2), rtol=1e-4), (float(v1), float(v2))
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g1)[0],
+        jax.tree_util.tree_flatten_with_path(g2)[0],
+    ):
+        assert jax.tree_util.keystr(k1) == jax.tree_util.keystr(k2)
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.allclose(a, b, atol=5e-5), (jax.tree_util.keystr(k1), np.abs(a - b).max())
