@@ -86,6 +86,7 @@ def sweep_all_tiles(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params, *
     Z, X, Y, Cp = packed.shape
     T, R, _ = a_tiles.shape
     mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    mlp_mm = jax.tree.map(lambda x: x.astype(mm_dtype), mlp_params)
     viewdir_emb = ray_ops.positional_encoding(vd_tiles, cfg.viewbase_pe)  # [T,R,E]
 
     def body(carry, inp):
@@ -132,7 +133,9 @@ def sweep_all_tiles(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params, *
         ], axis=-1)
         pe_emb = ray_ops.positional_encoding(pe_spa, cfg.spatial_pe)
         rgb_feat = jnp.concatenate([feat, pe_emb, viewdir_emb], axis=-1)
-        rgb_raw = jax.nn.sigmoid(common.mlp_apply(mlp_params, rgb_feat, act))
+        rgb_raw = jax.nn.sigmoid(
+            common.mlp_apply(mlp_mm, rgb_feat.astype(mm_dtype), act).astype(jnp.float32)
+        )
 
         w = t_cum * alpha
         if cfg.fast_color_thres > 0:
@@ -239,6 +242,7 @@ def sweep_all_tiles_train(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_par
     Z, X, Y, Cp = packed.shape
     T, R, _ = a_tiles.shape
     mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    mlp_mm = jax.tree.map(lambda x: x.astype(mm_dtype), mlp_params)
     viewdir_emb = ray_ops.positional_encoding(vd_tiles, cfg.viewbase_pe)
 
     def body(carry, inp):
@@ -278,7 +282,9 @@ def sweep_all_tiles_train(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_par
         ], axis=-1)
         pe_emb = ray_ops.positional_encoding(pe_spa, cfg.spatial_pe)
         rgb_feat = jnp.concatenate([feat, pe_emb, viewdir_emb], axis=-1)
-        rgb_raw = jax.nn.sigmoid(common.mlp_apply(mlp_params, rgb_feat, act))
+        rgb_raw = jax.nn.sigmoid(
+            common.mlp_apply(mlp_mm, rgb_feat.astype(mm_dtype), act).astype(jnp.float32)
+        )
 
         w = t_cum * alpha
         if cfg.fast_color_thres > 0:
@@ -308,6 +314,36 @@ def _sweep_tiles(cfg, params, buffers, a_tiles, b_tiles, vd_tiles, *,
         cfg=cfg, interval=interval, patch=patch, k0_dim=cfg.k0_dim,
         bg=bg, act=act, use_bf16=use_bf16,
     )
+
+
+def auto_tile_patch(cfg, H, W, K, c2w, *, inverse_y=False, flip_x=False,
+                    flip_y=False, max_patch: int | None = None):
+    """Pick (tile, patch) so every tile's footprint fits its slice: start at
+    tile=32 and halve until the required patch fits the grid. Returns
+    (tile, patch) or None when even tile=4 cannot fit (caller falls back)."""
+    X, Y, Z = cfg.world_size
+    max_patch = max_patch or min(X, Y)
+    ro, rd, _ = ray_ops.get_rays_of_a_view(
+        H, W, K, c2w, ndc=True, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y
+    )
+    sizes = jnp.asarray([X, Y], dtype=jnp.float32)
+    a, b = _affine_coeffs(ro, rd, jnp.asarray(cfg.xyz_min), jnp.asarray(cfg.xyz_max),
+                          sizes, Z)
+    a, b = np.asarray(a), np.asarray(b)
+    tile = 32
+    while tile >= 4:
+        spread = 0.0
+        for k in (0.0, float(Z - 1)):
+            pos = a + b * k
+            for ty in range(0, H, tile):
+                for tx in range(0, W, tile):
+                    blk = pos[ty:ty + tile, tx:tx + tile].reshape(-1, 2)
+                    spread = max(spread, float((blk.max(0) - blk.min(0)).max()))
+        patch = int(np.ceil((spread + 4) / 8.0) * 8)
+        if patch <= max_patch:
+            return tile, max(patch, 16)
+        tile //= 2
+    return None
 
 
 def render_frame(cfg, params, buffers, H: int, W: int, K, c2w, *, stepsize: float,

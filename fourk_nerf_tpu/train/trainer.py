@@ -253,9 +253,16 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
     def sweep_frame(H, W, K_i, c2w):
         from fourk_nerf_tpu.ops import plane_sweep
 
+        tp = plane_sweep.auto_tile_patch(
+            model_cfg, H, W, K_i, c2w,
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+        )
+        if tp is None:
+            raise ValueError("no (tile, patch) fits this camera's footprint")
+        tile, patch = tp
         return plane_sweep.render_frame(
             model_cfg, params, buffers, H, W, K_i, c2w,
-            stepsize=rk["stepsize"], bg=rk["bg"],
+            stepsize=rk["stepsize"], bg=rk["bg"], tile=tile, patch=patch,
             inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
         )
 
