@@ -1,0 +1,79 @@
+"""Distributed tests on the 8-device virtual CPU mesh (SURVEY.md section 4:
+sharded render must equal the single-device render)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fourk_nerf_tpu.models import dmpigo
+from fourk_nerf_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = dmpigo.make_config(
+        xyz_min=[-1, -1, 0], xyz_max=[1, 1, 1], num_voxels=16 * 16 * 8, mpi_depth=8,
+        fast_color_thres=1e-4, rgbnet_dim=4, rgbnet_width=16,
+    )
+    params, buffers = dmpigo.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    params["density"] = jnp.asarray(rng.normal(0, 1, params["density"].shape).astype(np.float32))
+    params["k0"] = jnp.asarray(rng.normal(0, 1, params["k0"].shape).astype(np.float32))
+    n = 64
+    ro = jnp.asarray(np.concatenate([rng.uniform(-0.5, 0.5, (n, 2)), np.full((n, 1), -1.0)], -1), dtype=jnp.float32)
+    rd = jnp.asarray(np.concatenate([rng.uniform(-0.1, 0.1, (n, 2)), np.full((n, 1), 2.0)], -1), dtype=jnp.float32)
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    return cfg, params, buffers, ro, rd, vd
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    m = pmesh.make_mesh(n_data=4, n_grid=2)
+    assert m.axis_names == ("data", "grid")
+    assert m.devices.shape == (4, 2)
+
+
+def test_data_parallel_render_matches_single_device(scene):
+    cfg, params, buffers, ro, rd, vd = scene
+    ref = np.asarray(dmpigo.forward(cfg, params, buffers, ro, rd, vd,
+                                    stepsize=1.0, bg=0.5)["rgb_marched"])
+
+    m = pmesh.make_mesh(n_data=8, n_grid=1)
+    batch_sh = pmesh.shard_batch(m)
+    rep = pmesh.replicate(m)
+    params_r = jax.device_put(params, rep)
+    buffers_r = jax.device_put(buffers, rep)
+    ro_s, rd_s, vd_s = (jax.device_put(x, batch_sh) for x in (ro, rd, vd))
+
+    fwd = jax.jit(lambda p, b, a1, a2, a3: dmpigo.forward(
+        cfg, p, b, a1, a2, a3, stepsize=1.0, bg=0.5)["rgb_marched"])
+    with m:
+        out = fwd(params_r, buffers_r, ro_s, rd_s, vd_s)
+    assert np.allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_grid_sharded_render_matches(scene):
+    """Voxel grids spatially sharded along X (TP analogue): XLA inserts the
+    halo/gather collectives; result must be identical."""
+    cfg, params, buffers, ro, rd, vd = scene
+    ref = np.asarray(dmpigo.forward(cfg, params, buffers, ro, rd, vd,
+                                    stepsize=1.0, bg=0.5)["rgb_marched"])
+    m = pmesh.make_mesh(n_data=4, n_grid=2)
+    params_s = pmesh.shard_grid_params(m, params)
+    buffers_r = jax.device_put(buffers, pmesh.replicate(m))
+    ro_s, rd_s, vd_s = (jax.device_put(x, pmesh.shard_batch(m)) for x in (ro, rd, vd))
+    fwd = jax.jit(lambda p, b, a1, a2, a3: dmpigo.forward(
+        cfg, p, b, a1, a2, a3, stepsize=1.0, bg=0.5)["rgb_marched"])
+    with m:
+        out = fwd(params_s, buffers_r, ro_s, rd_s, vd_s)
+    assert np.allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_replica_consistency_check(scene):
+    from fourk_nerf_tpu.utils import misc
+
+    cfg, params, buffers, *_ = scene
+    m = pmesh.make_mesh(n_data=8, n_grid=1)
+    rep = jax.device_put(params, pmesh.replicate(m))
+    misc.check_replica_consistency(rep)  # must not raise
