@@ -422,7 +422,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
             )
     else:
         print(f"scene_rep_reconstruction ({stage}): reload from {reload_path}")
-        kwargs_l, params, buffers, opt_state_l, start, _ = checkpoints.load_checkpoint(reload_path)
+        if reload_path.endswith(".tar"):  # reference torch checkpoint
+            kwargs_l, params, buffers, start = checkpoints.import_torch_encoder_checkpoint(
+                reload_path
+            )
+        else:
+            kwargs_l, params, buffers, opt_state_l, start, _ = checkpoints.load_checkpoint(
+                reload_path
+            )
         model_cfg = model_mod.make_config(**kwargs_l)
 
     render_kwargs = {
