@@ -35,6 +35,10 @@ class Config:
     alpha_init: float
     bg_preserve: float = 0.5
     fast_color_thres: float = 0.0
+    density_type: str = "DenseGrid"
+    k0_type: str = "DenseGrid"
+    density_config: tuple = ()
+    k0_config: tuple = ()
     rgbnet_dim: int = 0
     bg_use_mlp: bool = True
     rgbnet_depth: int = 3
@@ -85,6 +89,9 @@ def make_config(xyz_min, xyz_max, num_voxels, num_voxels_base, alpha_init,
                "world_size", "mask_cache_world_size", "voxel_size",
                "voxel_size_base", "alpha_init", "voxel_size_ratio"}
     extra = {k: v for k, v in kwargs.items() if k in known - derived}
+    for gk in ("density_config", "k0_config"):
+        if isinstance(extra.get(gk), dict):
+            extra[gk] = tuple(sorted(extra[gk].items()))
     return Config(
         scene_center=tuple(((xyz_min + xyz_max) * 0.5).tolist()),
         scene_radius=tuple(((xyz_max - xyz_min) * 0.5).tolist()),
@@ -104,6 +111,8 @@ def get_kwargs(cfg: Config) -> dict:
         "alpha_init": cfg.alpha_init, "voxel_size_ratio": cfg.voxel_size_ratio,
         "mask_cache_world_size": list(cfg.mask_cache_world_size),
         "fast_color_thres": cfg.fast_color_thres, "bg_preserve": cfg.bg_preserve,
+        "density_type": cfg.density_type, "k0_type": cfg.k0_type,
+        "density_config": dict(cfg.density_config), "k0_config": dict(cfg.k0_config),
         "rgbnet_dim": cfg.rgbnet_dim, "bg_use_mlp": cfg.bg_use_mlp,
         "rgbnet_depth": cfg.rgbnet_depth, "rgbnet_width": cfg.rgbnet_width,
         "viewbase_pe": cfg.viewbase_pe,
@@ -118,9 +127,12 @@ def init(cfg: Config, key: jax.Array):
     dims = [dim0] + [cfg.rgbnet_width] * (cfg.rgbnet_depth - 1) + [3]
 
     def field(k, with_mlp, k0_ch):
+        kd, kk = jax.random.split(k)
         p = {
-            "density": jnp.zeros((X, Y, Z, 1), dtype=jnp.float32),
-            "k0": jnp.zeros((X, Y, Z, k0_ch), dtype=jnp.float32),
+            "density": common.grid_init(cfg.density_type, kd, 1, cfg.world_size,
+                                        cfg.density_config),
+            "k0": common.grid_init(cfg.k0_type, kk, k0_ch, cfg.world_size,
+                                   cfg.k0_config),
         }
         if cfg.rgbnet_dim > 0 and with_mlp:
             p["rgbnet"] = common.mlp_init(k, dims)
@@ -154,14 +166,14 @@ def _field_forward(cfg, fparams, mask_cache, pts, valid, viewdirs, interval,
     N, K = pts.shape[:2]
     valid = valid & grid_sample.nearest_mask_lookup(mask_cache, pts, xyz_min, xyz_max)
     ind01 = grid_sample.world_to_ind01(pts, xyz_min, xyz_max)
-    density = grid_sample.trilinear_sample(fparams["density"], ind01)[..., 0]
+    density = common.grid_query(cfg.density_type, fparams["density"], ind01)[..., 0]
     alpha = render.raw2alpha(density, cfg.act_shift, interval)
     if cfg.fast_color_thres > 0:
         valid &= alpha > cfg.fast_color_thres
     weights, alphainv_last, _ = render.alpha2weight(alpha, valid)
     if cfg.fast_color_thres > 0:
         weights = jnp.where(weights > cfg.fast_color_thres, weights, 0.0)
-    k0 = grid_sample.trilinear_sample(fparams["k0"], ind01)
+    k0 = common.grid_query(cfg.k0_type, fparams["k0"], ind01)
     if "rgbnet" not in fparams:
         rgb = jax.nn.sigmoid(k0)
     else:

@@ -38,6 +38,8 @@ class Config:
     fast_color_thres: float = 0.0
     density_type: str = "DenseGrid"
     k0_type: str = "DenseGrid"
+    density_config: tuple = ()  # hashable dict items (TensoRF n_comp etc.)
+    k0_config: tuple = ()
     rgbnet_dim: int = 0
     rgbnet_depth: int = 3
     rgbnet_width: int = 128
@@ -90,6 +92,9 @@ def make_config(xyz_min, xyz_max, num_voxels, num_voxels_base, alpha_init,
                "world_size", "mask_cache_world_size", "voxel_size",
                "voxel_size_base", "alpha_init", "bg_len", "voxel_size_ratio"}
     extra = {k: v for k, v in kwargs.items() if k in known - derived}
+    for gk in ("density_config", "k0_config"):
+        if isinstance(extra.get(gk), dict):
+            extra[gk] = tuple(sorted(extra[gk].items()))
     return Config(
         scene_center=tuple(((xyz_min + xyz_max) * 0.5).tolist()),
         scene_radius=tuple(((xyz_max - xyz_min) * 0.5).tolist()),
@@ -125,8 +130,8 @@ def get_kwargs(cfg: Config) -> dict:
         "bg_len": cfg.bg_len,
         "density_type": cfg.density_type,
         "k0_type": cfg.k0_type,
-        "density_config": {},
-        "k0_config": {},
+        "density_config": dict(cfg.density_config),
+        "k0_config": dict(cfg.k0_config),
         "rgbnet_dim": cfg.rgbnet_dim,
         "rgbnet_depth": cfg.rgbnet_depth,
         "rgbnet_width": cfg.rgbnet_width,
@@ -135,10 +140,14 @@ def get_kwargs(cfg: Config) -> dict:
 
 
 def init(cfg: Config, key: jax.Array, init_mask=None):
-    X, Y, Z = cfg.world_size
+    key, kd, kk = jax.random.split(key, 3)
+    # grid-type dispatch mirrors the reference's create_grid
+    # (/root/reference/lib/grid.py:27-35) -- DenseGrid or TensoRF
     params: dict = {
-        "density": jnp.zeros((X, Y, Z, 1), dtype=jnp.float32),
-        "k0": jnp.zeros((X, Y, Z, cfg.k0_dim), dtype=jnp.float32),
+        "density": common.grid_init(cfg.density_type, kd, 1, cfg.world_size,
+                                    cfg.density_config),
+        "k0": common.grid_init(cfg.k0_type, kk, cfg.k0_dim, cfg.world_size,
+                               cfg.k0_config),
     }
     if cfg.rgbnet_dim > 0:
         dim0 = 3 + 3 * cfg.viewbase_pe * 2 + cfg.k0_dim
@@ -226,7 +235,7 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
     valid &= grid_sample.nearest_mask_lookup(buffers["mask_cache"], pts, xyz_min, xyz_max)
 
     ind01 = grid_sample.world_to_ind01(pts, xyz_min, xyz_max)
-    density = grid_sample.trilinear_sample(params["density"], ind01)[..., 0]
+    density = common.grid_query(cfg.density_type, params["density"], ind01)[..., 0]
     alpha = render.raw2alpha(density, cfg.act_shift, interval)
     if cfg.fast_color_thres > 0:
         valid &= alpha > cfg.fast_color_thres
@@ -235,7 +244,7 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
     if cfg.fast_color_thres > 0:
         weights = jnp.where(weights > cfg.fast_color_thres, weights, 0.0)
 
-    k0 = grid_sample.trilinear_sample(params["k0"], ind01)
+    k0 = common.grid_query(cfg.k0_type, params["k0"], ind01)
     if cfg.rgbnet_dim <= 0:
         rgb_raw = jax.nn.sigmoid(k0)
     else:
@@ -288,7 +297,8 @@ def _grid_xyz(cfg: Config, shape):
 def update_occupancy_cache(cfg: Config, params: dict, buffers: dict) -> dict:
     xyz = _grid_xyz(cfg, buffers["mask_cache"].shape)
     xyz_min, xyz_max = _xyz_minmax(cfg)
-    density = grid_sample.grid_query(params["density"], xyz, xyz_min, xyz_max)[..., 0]
+    ind01 = grid_sample.world_to_ind01(xyz, xyz_min, xyz_max)
+    density = common.grid_query(cfg.density_type, params["density"], ind01)[..., 0]
     alpha = render.raw2alpha(density, cfg.act_shift, cfg.voxel_size_ratio)
     alpha = grid_sample.max_pool3d_same(alpha)
     return {**buffers, "mask_cache": buffers["mask_cache"] & (alpha > cfg.fast_color_thres)}
@@ -302,15 +312,16 @@ def scale_volume_grid(cfg: Config, params: dict, buffers: dict, num_voxels: int)
         cfg, num_voxels=int(num_voxels), world_size=tuple(world_size), voxel_size=voxel_size
     )
     new_params = dict(params)
-    new_params["density"] = grid_sample.resize_trilinear(params["density"], world_size)
-    new_params["k0"] = grid_sample.resize_trilinear(params["k0"], world_size)
+    new_params["density"] = common.grid_resize(cfg.density_type, params["density"], world_size)
+    new_params["k0"] = common.grid_resize(cfg.k0_type, params["k0"], world_size)
     new_buffers = dict(buffers)
     if int(np.prod(world_size)) <= 256**3:
         xyz = _grid_xyz(new_cfg, world_size)
         xyz_min, xyz_max = _xyz_minmax(new_cfg)
         old_mask = grid_sample.nearest_mask_lookup(buffers["mask_cache"], xyz, xyz_min, xyz_max)
+        density_dense = common.grid_dense(cfg.density_type, new_params["density"], 1)
         alpha = render.raw2alpha(
-            new_params["density"][..., 0], new_cfg.act_shift, new_cfg.voxel_size_ratio
+            density_dense[..., 0], new_cfg.act_shift, new_cfg.voxel_size_ratio
         )
         alpha = grid_sample.max_pool3d_same(alpha)
         new_buffers["mask_cache"] = old_mask & (alpha > new_cfg.fast_color_thres)
@@ -318,15 +329,23 @@ def scale_volume_grid(cfg: Config, params: dict, buffers: dict, num_voxels: int)
     return new_cfg, new_params, new_buffers
 
 
+def _tv_dispatch(grid_type, gparams, w, sparse_grad):
+    if grid_type == "DenseGrid":
+        return render.total_variation_grad(gparams, w, w, w, sparse_grad)
+    from fourk_nerf_tpu.ops import tensorf
+
+    return jax.grad(lambda p: tensorf.tensorf_tv_loss(p, w, w, w))(gparams)
+
+
 def density_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
                     n_rays: int, density_grad):
     w = weight / n_rays * max(cfg.world_size) / 128.0
-    return render.total_variation_grad(
-        params["density"], w, w, w, None if dense_mode else density_grad
-    )
+    return _tv_dispatch(cfg.density_type, params["density"], w,
+                        None if dense_mode else density_grad)
 
 
 def k0_tv_grad(cfg: Config, params: dict, weight: float, dense_mode: bool,
                n_rays: int, k0_grad):
     w = weight / n_rays * max(cfg.world_size) / 128.0
-    return render.total_variation_grad(params["k0"], w, w, w, None if dense_mode else k0_grad)
+    return _tv_dispatch(cfg.k0_type, params["k0"], w,
+                        None if dense_mode else k0_grad)

@@ -36,7 +36,13 @@ from fourk_nerf_tpu.ops import render, rays as ray_ops
 
 def pack_grids(cfg, params, buffers):
     """Pack density + k0 into one plane-major [Z, X, Y, Cp] array (lane-
-    friendly channel count), plus per-plane act_shift [Z]."""
+    friendly channel count), plus per-plane act_shift [Z], plus the
+    free-space mask resolved per depth plane at its NATIVE resolution
+    ([Z, mX, mY] float) -- the sweep reads it with SNAPPED (one-hot) hat
+    weights in MASK index space, reproducing the reference's
+    nearest-neighbor ``maskcache_lookup`` exactly at any resolution
+    (render_utils_kernel.cu:367-424; z is exact because plane-aligned
+    samples sit on integer z)."""
     density = params["density"]  # [X,Y,Z,1]
     k0 = params["k0"]            # [X,Y,Z,C]
     packed = jnp.concatenate([density, k0], axis=-1)  # [X,Y,Z,1+C]
@@ -46,15 +52,31 @@ def pack_grids(cfg, params, buffers):
         packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 0), (0, pad)))
     packed = jnp.transpose(packed, (2, 0, 1, 3))  # [Z,X,Y,Cp]
     act_shift = buffers["act_shift"][0, 0, :, 0]  # [Z]
-    # fold the free-space mask into the density channel: masked-out voxels
-    # get density -inf-ish so alpha==0 (mask_cache is nearest-neighbor in the
-    # reference; here we bake it at voxel resolution which is equivalent for
-    # matching world sizes)
-    mask = buffers["mask_cache"]
-    if mask.shape == params["density"].shape[:3]:
-        neg = jnp.where(mask, 0.0, -1e9)[..., None]  # [X,Y,Z,1]
-        packed = packed.at[..., 0:1].add(jnp.transpose(neg, (2, 0, 1, 3)))
-    return packed, act_shift
+
+    mask = buffers["mask_cache"]  # [mX, mY, mZ] bool
+    Z = density.shape[2]
+    mZ = mask.shape[2]
+    if mZ == Z:
+        zidx = jnp.arange(Z, dtype=jnp.int32)
+    else:  # nearest mask plane for sample plane k (z = k exactly)
+        zidx = jnp.round(
+            jnp.arange(Z, dtype=jnp.float32) * (mZ - 1) / max(Z - 1, 1)
+        ).astype(jnp.int32)
+    mask_planes = jnp.transpose(mask, (2, 0, 1))[zidx].astype(jnp.float32)
+    return packed, act_shift, mask_planes
+
+
+def mask_scale_and_patch(cfg, mask_shape, patch: int):
+    """Static helpers for the in-sweep mask lookup: per-axis index scale
+    (world-grid units -> mask-grid units) and the mask patch size needed to
+    cover a ``patch``-wide world footprint."""
+    X, Y, _ = cfg.world_size
+    mX, mY = int(mask_shape[0]), int(mask_shape[1])
+    sx = (mX - 1) / max(X - 1, 1)
+    sy = (mY - 1) / max(Y - 1, 1)
+    pm = int(np.ceil(patch * max(sx, sy))) + 4
+    pm = min(int(np.ceil(pm / 8.0) * 8), min(mX, mY))
+    return float(sx), float(sy), max(pm, 8)
 
 
 def _affine_coeffs(rays_o, rays_d, xyz_min, xyz_max, sizes, n_samples):
@@ -71,8 +93,9 @@ def _hat_weights(pos, offset, P: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(rel))
 
 
-def sweep_all_tiles(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params, *,
-                    cfg, interval, patch: int, k0_dim: int, bg: float, act,
+def sweep_all_tiles(packed, act_shift, mask_planes, a_tiles, b_tiles, vd_tiles,
+                    mlp_params, *, cfg, interval, patch: int, k0_dim: int,
+                    bg: float, act, msx: float, msy: float, mpatch: int,
                     use_bf16: bool = True):
     """Plane-outer sweep: each depth plane is read from HBM exactly once; all
     ray tiles advance together. Per plane: batched patch extraction (one
@@ -84,14 +107,36 @@ def sweep_all_tiles(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params, *
     Returns (rgb [T,R,3], depth [T,R], alphainv_last [T,R]).
     """
     Z, X, Y, Cp = packed.shape
+    mX, mY = mask_planes.shape[1:]
     T, R, _ = a_tiles.shape
     mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     mlp_mm = jax.tree.map(lambda x: x.astype(mm_dtype), mlp_params)
     viewdir_emb = ray_ops.positional_encoding(vd_tiles, cfg.viewbase_pe)  # [T,R,E]
 
+    def mask_lookup(mplane, pos):
+        """Nearest-neighbor maskcache lookup in MASK index space via one-hot
+        (snapped) hat weights -- exact at any mask resolution."""
+        pos_mx = pos[..., 0] * msx  # [T,R]
+        pos_my = pos[..., 1] * msy
+        oxm = jnp.clip(jnp.floor(jnp.min(pos_mx, axis=1)).astype(jnp.int32) - 1,
+                       0, mX - mpatch)
+        oym = jnp.clip(jnp.floor(jnp.min(pos_my, axis=1)).astype(jnp.int32) - 1,
+                       0, mY - mpatch)
+        mpatches = jax.vmap(
+            lambda x0, y0: jax.lax.dynamic_slice(mplane, (x0, y0), (mpatch, mpatch))
+        )(oxm, oym)  # [T,Pm,Pm]
+        taps_m = jnp.arange(mpatch, dtype=pos.dtype)
+        dxm = (pos_mx - oxm[:, None].astype(pos.dtype))[..., None] - taps_m
+        dym = (pos_my - oym[:, None].astype(pos.dtype))[..., None] - taps_m
+        wxn = ((dxm >= -0.5) & (dxm < 0.5)).astype(mm_dtype)
+        wyn = ((dym >= -0.5) & (dym < 0.5)).astype(mm_dtype)
+        mtmp = jnp.einsum("trp,tpq->trq", wxn, mpatches.astype(mm_dtype),
+                          preferred_element_type=jnp.float32)
+        return jnp.sum(wyn.astype(jnp.float32) * mtmp, axis=-1)  # [T,R]
+
     def body(carry, inp):
         t_cum, rgb_acc, depth_acc, alive = carry  # [T,R] / [T,R,3]
-        plane, shift_k, k = inp  # [X,Y,Cp], [], []
+        plane, shift_k, k, mplane = inp  # [X,Y,Cp], [], [], [mX,mY]
         pos = a_tiles + b_tiles * k  # [T,R,2]
 
         ox = jnp.clip(jnp.floor(jnp.min(pos[..., 0], axis=1)).astype(jnp.int32) - 1,
@@ -113,6 +158,7 @@ def sweep_all_tiles(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params, *
             preferred_element_type=jnp.float32,
         )
         samp = jnp.einsum("trq,trqc->trc", wy, tmp)  # [T,R,Cp]
+        mval = mask_lookup(mplane, pos)
 
         density = samp[..., 0]
         feat = samp[..., 1:1 + k0_dim]
@@ -121,7 +167,7 @@ def sweep_all_tiles(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params, *
             (pos[..., 0] >= 0) & (pos[..., 0] <= X - 1)
             & (pos[..., 1] >= 0) & (pos[..., 1] <= Y - 1)
         )
-        alpha = jnp.where(inb, alpha, 0.0)
+        alpha = jnp.where(inb & (mval > 0.5), alpha, 0.0)
         if cfg.fast_color_thres > 0:
             alpha = jnp.where(alpha > cfg.fast_color_thres, alpha, 0.0)
         alpha = jnp.where(alive, alpha, 0.0)
@@ -154,7 +200,7 @@ def sweep_all_tiles(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params, *
     )
     ks = jnp.arange(Z, dtype=jnp.float32)
     (t_cum, rgb_acc, depth_acc, _alive), _ = jax.lax.scan(
-        body, init, (packed, act_shift, ks)
+        body, init, (packed, act_shift, ks, mask_planes)
     )
     rgb = rgb_acc + t_cum[..., None] * bg
     return rgb, depth_acc, t_cum
@@ -223,31 +269,56 @@ def sweep_patch_train(cfg, params, buffers, rays_o, rays_d, viewdirs, *,
 @functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "use_bf16"))
 def _sweep_patch_jit(cfg, params, buffers, a, b, viewdirs, *, interval: float,
                      patch: int, use_bf16: bool):
-    packed, act_shift = pack_grids(cfg, params, buffers)
+    packed, act_shift, mask_planes = pack_grids(cfg, params, buffers)
+    msx, msy, mpatch = mask_scale_and_patch(cfg, buffers["mask_cache"].shape, patch)
     act = common.activation(cfg.act_type)
     # single tile: add the T axis
     w_t, t_cum_t, feat_t, raw_t = sweep_all_tiles_train(
-        packed, act_shift, a[None], b[None], viewdirs[None], params["rgbnet"],
-        cfg=cfg, interval=interval, patch=patch, k0_dim=cfg.k0_dim, act=act,
+        packed, act_shift, mask_planes, a[None], b[None], viewdirs[None],
+        params["rgbnet"], cfg=cfg, interval=interval, patch=patch,
+        k0_dim=cfg.k0_dim, act=act, msx=msx, msy=msy, mpatch=mpatch,
         use_bf16=use_bf16,
     )
     return w_t[0], raw_t[0], t_cum_t[0], feat_t[0], None
 
 
-def sweep_all_tiles_train(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_params,
-                          *, cfg, interval, patch: int, k0_dim: int, act,
-                          use_bf16: bool = True):
+def sweep_all_tiles_train(packed, act_shift, mask_planes, a_tiles, b_tiles,
+                          vd_tiles, mlp_params, *, cfg, interval, patch: int,
+                          k0_dim: int, act, msx: float, msy: float,
+                          mpatch: int, use_bf16: bool = True):
     """Like :func:`sweep_all_tiles` but additionally emits per-sample weights
     and raw rgb ([T, R, Z] / [T, R, Z, 3]) for the training losses."""
     Z, X, Y, Cp = packed.shape
+    mX, mY = mask_planes.shape[1:]
     T, R, _ = a_tiles.shape
     mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     mlp_mm = jax.tree.map(lambda x: x.astype(mm_dtype), mlp_params)
     viewdir_emb = ray_ops.positional_encoding(vd_tiles, cfg.viewbase_pe)
 
+    def mask_lookup(mplane, pos):
+        # one-hot nearest lookup in mask index space (see sweep_all_tiles);
+        # no gradient flows through the gate
+        pos_mx = pos[..., 0] * msx
+        pos_my = pos[..., 1] * msy
+        oxm = jnp.clip(jnp.floor(jnp.min(pos_mx, axis=1)).astype(jnp.int32) - 1,
+                       0, mX - mpatch)
+        oym = jnp.clip(jnp.floor(jnp.min(pos_my, axis=1)).astype(jnp.int32) - 1,
+                       0, mY - mpatch)
+        mpatches = jax.vmap(
+            lambda x0, y0: jax.lax.dynamic_slice(mplane, (x0, y0), (mpatch, mpatch))
+        )(oxm, oym)
+        taps_m = jnp.arange(mpatch, dtype=pos.dtype)
+        dxm = (pos_mx - oxm[:, None].astype(pos.dtype))[..., None] - taps_m
+        dym = (pos_my - oym[:, None].astype(pos.dtype))[..., None] - taps_m
+        wxn = ((dxm >= -0.5) & (dxm < 0.5)).astype(mm_dtype)
+        wyn = ((dym >= -0.5) & (dym < 0.5)).astype(mm_dtype)
+        mtmp = jnp.einsum("trp,tpq->trq", wxn, mpatches.astype(mm_dtype),
+                          preferred_element_type=jnp.float32)
+        return jnp.sum(wyn.astype(jnp.float32) * mtmp, axis=-1)
+
     def body(carry, inp):
         t_cum, alive = carry
-        plane, shift_k, k = inp
+        plane, shift_k, k, mplane = inp
         pos = a_tiles + b_tiles * k
         ox = jnp.clip(jnp.floor(jnp.min(pos[..., 0], axis=1)).astype(jnp.int32) - 1,
                       0, X - patch)
@@ -262,6 +333,7 @@ def sweep_all_tiles_train(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_par
         tmp = jnp.einsum("trp,tpqc->trqc", wx.astype(mm_dtype), patches.astype(mm_dtype),
                          preferred_element_type=jnp.float32)
         samp = jnp.einsum("trq,trqc->trc", wy, tmp)
+        mval = mask_lookup(mplane, pos)
 
         density = samp[..., 0]
         feat = samp[..., 1:1 + k0_dim]
@@ -270,7 +342,7 @@ def sweep_all_tiles_train(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_par
             (pos[..., 0] >= 0) & (pos[..., 0] <= X - 1)
             & (pos[..., 1] >= 0) & (pos[..., 1] <= Y - 1)
         )
-        alpha = jnp.where(inb, alpha, 0.0)
+        alpha = jnp.where(inb & (mval > 0.5), alpha, 0.0)
         if cfg.fast_color_thres > 0:
             alpha = jnp.where(alpha > cfg.fast_color_thres, alpha, 0.0)
         alpha = jnp.where(alive, alpha, 0.0)
@@ -296,7 +368,7 @@ def sweep_all_tiles_train(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_par
     init = (jnp.ones((T, R), dtype=jnp.float32), jnp.ones((T, R), dtype=bool))
     ks = jnp.arange(Z, dtype=jnp.float32)
     (t_cum, _alive), (w_seq, rgb_seq) = jax.lax.scan(
-        body, init, (packed, act_shift, ks)
+        body, init, (packed, act_shift, ks, mask_planes)
     )
     weights = jnp.moveaxis(w_seq, 0, -1)         # [T,R,Z]
     raw_rgb = jnp.moveaxis(rgb_seq, 0, 2)        # [T,R,Z,3]
@@ -307,12 +379,14 @@ def sweep_all_tiles_train(packed, act_shift, a_tiles, b_tiles, vd_tiles, mlp_par
 @functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "bg", "use_bf16"))
 def _sweep_tiles(cfg, params, buffers, a_tiles, b_tiles, vd_tiles, *,
                  interval: float, patch: int, bg: float, use_bf16: bool = True):
-    packed, act_shift = pack_grids(cfg, params, buffers)
+    packed, act_shift, mask_planes = pack_grids(cfg, params, buffers)
+    msx, msy, mpatch = mask_scale_and_patch(cfg, buffers["mask_cache"].shape, patch)
     act = common.activation(cfg.act_type)
     return sweep_all_tiles(
-        packed, act_shift, a_tiles, b_tiles, vd_tiles, params["rgbnet"],
-        cfg=cfg, interval=interval, patch=patch, k0_dim=cfg.k0_dim,
-        bg=bg, act=act, use_bf16=use_bf16,
+        packed, act_shift, mask_planes, a_tiles, b_tiles, vd_tiles,
+        params["rgbnet"], cfg=cfg, interval=interval, patch=patch,
+        k0_dim=cfg.k0_dim, bg=bg, act=act, msx=msx, msy=msy, mpatch=mpatch,
+        use_bf16=use_bf16,
     )
 
 

@@ -63,9 +63,27 @@ def load_checkpoint(path: str):
 # ---------------------------------------------------------------------------
 
 def _torch_load(path):
+    """Prefer the safe (weights_only) unpickler; reference checkpoints contain
+    numpy scalars, so allowlist those. Falls back to the unsafe path with a
+    loud warning -- imported .tar/.pth files execute pickle code otherwise."""
     import torch
 
-    return torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        try:
+            import numpy.core.multiarray as _ma  # numpy scalar reconstruction
+            with torch.serialization.safe_globals(
+                [_ma._reconstruct, np.ndarray, np.dtype,
+                 np.dtypes.Float32DType, np.dtypes.Float64DType,
+                 np.dtypes.Int64DType]
+            ):
+                return torch.load(path, map_location="cpu", weights_only=True)
+        except (ImportError, AttributeError):
+            return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickle.UnpicklingError and friends
+        print(f"checkpoints: WARNING safe load failed ({type(e).__name__}); "
+              f"falling back to weights_only=False for {path} -- only do this "
+              "with checkpoints you trust")
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 def _grid_to_channel_last(t) -> np.ndarray:

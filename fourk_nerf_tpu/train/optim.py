@@ -103,6 +103,35 @@ def apply_updates(params: dict, grads: dict, state: dict, lrs: dict,
     return new_params, {"exp_avg": new_m, "exp_avg_sq": new_v, "step": step}
 
 
+def state_compatible(loaded: Any, fresh: Any) -> bool:
+    """True when a checkpointed optimizer state has the same tree structure
+    and leaf shapes as a freshly initialized one (grid shapes change across
+    pg_scale, so a stale state must be rejected, not crash)."""
+    try:
+        la, ta = jax.tree.flatten(loaded)
+        lb, tb = jax.tree.flatten(fresh)
+    except Exception:
+        return False
+    if ta != tb or len(la) != len(lb):
+        return False
+    return all(
+        getattr(x, "shape", None) == getattr(y, "shape", None) for x, y in zip(la, lb)
+    )
+
+
+def restore_state(loaded: Any, fresh: Any, *, label: str = "optimizer"):
+    """Restore a checkpointed optimizer state when compatible, mirroring the
+    reference's ``optimizer.load_state_dict`` on resume
+    (/root/reference/lib/utils.py:53-59). Returns (state, restored_bool)."""
+    if loaded is None:
+        return fresh, False
+    if not state_compatible(loaded, fresh):
+        print(f"restore_state: checkpointed {label} state incompatible with "
+              "current shapes; reinitializing")
+        return fresh, False
+    return jax.tree.map(jnp.asarray, loaded), True
+
+
 def group_lr(lr0: float, steps_since_reset, lrate_decay: float):
     """lr after ``steps_since_reset`` optimizer steps (run.py:560-563)."""
     decay_factor = 0.1 ** (1.0 / (lrate_decay * 1000.0))
@@ -118,7 +147,12 @@ def build_group_lrs(cfg_train, params: dict) -> dict:
             continue
         name = k[len("lrate_"):]
         if name not in params:
-            continue
+            # DirectQVGO stores its codebook projection under 'k0_vq' but the
+            # reference drives it with lrate_k0 (the VQGrid IS model.k0)
+            if name == "k0" and "k0_vq" in params:
+                name = "k0_vq"
+            else:
+                continue
         lr = cfg_train[k]
         if lr and lr > 0:
             lrs[name] = float(lr)

@@ -36,24 +36,33 @@ from fourk_nerf_tpu.utils import metrics
 # aligned LR/HR patch sampling
 # ---------------------------------------------------------------------------
 
-def make_patch_sampler(n_views: int, H: int, W: int, patch: int, rng: np.random.Generator):
-    """Yields (view, row0, col0): grid-aligned patch origins, border-clamped,
-    shuffled over (view x patch-position) like mimg_patch_indices_generator."""
+def make_patch_sampler(n_views: int, H: int, W: int, patch: int, seed: int,
+                       inmask: np.ndarray | None = None):
+    """Step-indexed sampler of (view, row0, col0): grid-aligned patch origins,
+    border-clamped, shuffled over (view x patch-position) like
+    mimg_patch_indices_generator (/root/reference/lib/dvgo.py:850-878).
+
+    ``inmask``: optional [n_combos] bool -- patches whose rays all miss the
+    occupancy cache are dropped, matching the reference's 'patch_inmask'
+    filtering (lib/dvgo.py:786-820). Indexing by ``step`` makes checkpoint
+    resume replay the identical patch stream."""
     rows = sorted({min(r, H - patch) for r in range(0, H, patch)})
     cols = sorted({min(c, W - patch) for c in range(0, W, patch)})
     combos = [(v, r, c) for v in range(n_views) for r in rows for c in cols]
-    order = rng.permutation(len(combos))
-    top = 0
+    if inmask is not None:
+        kept = [cb for cb, m in zip(combos, inmask) if m]
+        if kept:  # never filter down to nothing
+            combos = kept
+    cache = {"epoch": -1, "order": None}
 
-    def sample():
-        nonlocal order, top
-        if top >= len(combos):
-            order = rng.permutation(len(combos))
-            top = 0
-        out = combos[order[top]]
-        top += 1
-        return out
+    def sample(step: int):
+        epoch, i = divmod(step, len(combos))
+        if cache["epoch"] != epoch:
+            cache["epoch"] = epoch
+            cache["order"] = np.random.default_rng((seed, epoch)).permutation(len(combos))
+        return combos[cache["order"][i]]
 
+    sample.rows, sample.cols = rows, cols
     return sample
 
 
@@ -200,11 +209,11 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
         if apply_tv:
             # NOTE: the joint driver scales TV by the VIEW count, not the ray
             # count (run_sr.py:1005-1011 divides by len(rays_o_tr) == n_views)
-            if weight_tv_density > 0:
+            if weight_tv_density > 0 and "density" in enc_grads:
                 enc_grads = {**enc_grads, "density": enc_grads["density"] + model_mod.density_tv_grad(
                     model_cfg, enc_params, weight_tv_density, tv_dense, n_views, enc_grads["density"]
                 )}
-            if weight_tv_k0 > 0:
+            if weight_tv_k0 > 0 and "k0" in enc_grads:
                 enc_grads = {**enc_grads, "k0": enc_grads["k0"] + model_mod.k0_tv_grad(
                     model_cfg, enc_params, weight_tv_k0, tv_dense, n_views, enc_grads["k0"]
                 )}
@@ -249,7 +258,8 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
 # ---------------------------------------------------------------------------
 
 def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
-                                      data_dict, stage: str, writer=None):
+                                      data_dict, stage: str, writer=None,
+                                      coarse_ckpt_path: str | None = None):
     if abs(cfg_model.world_bound_scale - 1) > 1e-9:
         xyz_shift = (xyz_max - xyz_min) * (cfg_model.world_bound_scale - 1) / 2
         xyz_min, xyz_max = xyz_min - xyz_shift, xyz_max + xyz_shift
@@ -259,14 +269,15 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
     i_train, i_val = data_dict["i_train"], data_dict["i_val"]
     srgt = data_dict["srgt"]
     sr_ratio = int(cfg.data.factor / cfg.data.load_sr) if cfg.data.load_sr else 4
-    rng = np.random.default_rng(getattr(args, "seed", 777))
-    key = jax.random.PRNGKey(getattr(args, "seed", 777))
+    seed = int(getattr(args, "seed", 777))
+    key = jax.random.PRNGKey(seed)
+    step_key_base = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5EED)
     patch = int(cfg_train.get("N_patch", 64))
 
     last_ckpt_path = os.path.join(cfg.basedir, cfg.expname, f"{stage}_last.npz")
     model_mod = dmpigo if cfg.data.ndc else dvgo
 
-    # --- encoder: reload (pretrained) or fresh ------------------------------
+    # --- encoder: reload (pretrained / joint resume) or fresh ---------------
     start = 0
     reload_path = None
     if not getattr(args, "no_reload", False):
@@ -275,12 +286,27 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         elif os.path.isfile(last_ckpt_path):
             reload_path = last_ckpt_path
 
+    # stashed pieces from a joint checkpoint (auto-resume): SR/D params and
+    # optimizer states are applied after their respective inits below
+    loaded_sr = loaded_d = loaded_d_state = None
+    opt_l: dict = {}
+    meta_l: dict = {}
     if reload_path:
         print(f"sr ({stage}): reload encoder from {reload_path}")
         if reload_path.endswith(".tar"):
             kwargs_l, params, buffers, start = checkpoints.import_torch_encoder_checkpoint(reload_path)
         else:
-            kwargs_l, params, buffers, _, start, _ = checkpoints.load_checkpoint(reload_path)
+            kwargs_l, params, buffers, opt_raw, start, meta_l = checkpoints.load_checkpoint(reload_path)
+            if meta_l.get("pipeline") == "joint_sr":
+                # a joint checkpoint: pull the SR generator / discriminator
+                # out of the encoder tree (they are NOT encoder params)
+                loaded_sr = params.pop("__sr__", None)
+                loaded_d = params.pop("__disc__", None)
+                loaded_d_state = params.pop("__disc_state__", None)
+                opt_l = opt_raw or {}
+            # encoder-only checkpoints (--ftdv_path) keep their global_step as
+            # ``start``, matching the reference (run_sr.py:660) -- the joint
+            # loop continues the counter
         model_cfg = model_mod.make_config(**kwargs_l)
     else:
         model_kwargs = {k: v for k, v in cfg_model.items()}
@@ -289,7 +315,33 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
             num_voxels = int(num_voxels / (2 ** len(cfg_train.pg_scale)))
         model_cfg = trainer._make_cfg(model_mod, cfg, xyz_min, xyz_max, num_voxels, model_kwargs)
         key, k_init = jax.random.split(key)
-        params, buffers = model_mod.init(model_cfg, k_init)
+        init_mask = None
+        if (not cfg.data.ndc) and coarse_ckpt_path:
+            # free-space mask bootstrap from the coarse stage (--ftdvcoa_path;
+            # reference MaskGrid(path=...), lib/grid.py:277-284)
+            from fourk_nerf_tpu.ops import grid_sample as gs
+
+            mask, m_min, m_max = (
+                checkpoints.mask_from_coarse_torch_checkpoint(
+                    coarse_ckpt_path, cfg_model.mask_cache_thres)
+                if coarse_ckpt_path.endswith(".tar")
+                else checkpoints.mask_from_coarse_checkpoint(
+                    coarse_ckpt_path, cfg_model.mask_cache_thres)
+            )
+            xyz = np.stack(
+                np.meshgrid(
+                    *[np.linspace(model_cfg.xyz_min[d], model_cfg.xyz_max[d],
+                                  model_cfg.mask_cache_world_size[d]) for d in range(3)],
+                    indexing="ij",
+                ), -1,
+            )
+            init_mask = np.asarray(gs.nearest_mask_lookup(
+                jnp.asarray(mask), jnp.asarray(xyz, dtype=jnp.float32),
+                jnp.asarray(m_min, dtype=jnp.float32),
+                jnp.asarray(m_max, dtype=jnp.float32),
+            ))
+            print(f"sr ({stage}): mask bootstrapped from {coarse_ckpt_path}")
+        params, buffers = model_mod.init(model_cfg, k_init, init_mask=init_mask)
 
     # --- SR generator -------------------------------------------------------
     sr_model = sr_esrnet.SFTNet(
@@ -301,7 +353,10 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         k_sr, jnp.zeros((1, patch, patch, int(cfg_model.dim_rend))),
         jnp.zeros((1, patch, patch, int(cfg_model.get("num_cond", 1)) if int(cfg_model.get("num_cond", 1)) != 64 else 64)),
     )["params"]
-    if getattr(args, "ftsr_path", ""):
+    if loaded_sr is not None:
+        sr_params = jax.tree.map(jnp.asarray, loaded_sr)
+        print(f"sr ({stage}): restored SR generator from joint checkpoint")
+    elif getattr(args, "ftsr_path", ""):
         import torch
 
         sd = torch.load(args.ftsr_path, map_location="cpu", weights_only=False)
@@ -314,6 +369,11 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         print(f"sr ({stage}): imported SR init from {args.ftsr_path}")
 
     # --- losses + discriminator --------------------------------------------
+    # The perceptual/style loss REQUIRES pretrained VGG19 weights: silently
+    # training a different objective than the config declares is worse than
+    # refusing to start (reference wires basicsr PerceptualLoss
+    # unconditionally when weight_pcp > 0, run_sr.py:670-678). Escape hatch:
+    # fine_train.allow_missing_vgg = True drops the term EXPLICITLY.
     perceptual = None
     if cfg_train.get("weight_pcp", 0) > 0:
         try:
@@ -322,7 +382,17 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                 style_weight=cfg_train.get("weight_style", 0),
             )
         except FileNotFoundError as e:
-            print(f"sr ({stage}): perceptual loss disabled ({e})")
+            if cfg_train.get("allow_missing_vgg", False):
+                print(f"sr ({stage}): WARNING perceptual loss DISABLED by "
+                      f"allow_missing_vgg; objective differs from config ({e})")
+            else:
+                raise RuntimeError(
+                    f"config sets weight_pcp={cfg_train.weight_pcp} but no "
+                    "pretrained VGG19 weights were found. Provide a torchvision "
+                    "vgg19 .pth (see README 'VGG19 weights contract') or set "
+                    "fine_train.allow_missing_vgg=True to train without the "
+                    "perceptual term."
+                ) from e
 
     use_gan = cfg_train.get("weight_gan", 0) > 0
     d_params, d_state = None, {}
@@ -344,6 +414,10 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
             d_model = sr_unetdisc.UNetDiscriminatorSN(num_feat=64)
             d_vars = d_model.init(k_d, jnp.zeros((1, hr, hr, 3)))
         d_params, d_state = d_vars["params"], d_vars["spectral"]
+        if loaded_d is not None:
+            d_params = jax.tree.map(jnp.asarray, loaded_d)
+            d_state = jax.tree.map(jnp.asarray, loaded_d_state or {})
+            print(f"sr ({stage}): restored discriminator from joint checkpoint")
 
     render_kwargs = {
         "near": float(near), "far": float(far),
@@ -368,25 +442,62 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         srgt_train = np.moveaxis(srgt_train, 1, -1)
     dev_hr = jnp.asarray(srgt_train, dtype=jnp.float32)  # [V,H*r,W*r,3]
 
-    sample_patch = make_patch_sampler(V, H, W, patch, rng)
+    # 'patch_inmask': drop patches whose rays all miss the coarse occupancy
+    # cache (reference lib/dvgo.py:786-820) -- a real throughput feature over
+    # 300k iters; recomputed only at startup (the cache shrinks thereafter)
+    inmask = None
+    if str(cfg_train.get("ray_sampler", "")) == "patch_inmask" and model_mod is dmpigo:
+        from fourk_nerf_tpu.ops import grid_sample, render as render_ops
 
-    # decide whether the G-step can render patches with the gather-free
-    # plane sweep (exact, massively faster on TPU)
-    sweep_patch = None
-    if render_kwargs.get("ndc_planes") and model_mod is dmpigo:
-        from fourk_nerf_tpu.ops import plane_sweep as ps
-
-        X, Y, Z = model_cfg.world_size
-        sizes = np.array([X, Y], dtype=np.float32)
-        xyz_min = np.asarray(model_cfg.xyz_min, dtype=np.float32)
-        xyz_max = np.asarray(model_cfg.xyz_max, dtype=np.float32)
-        a_all = (flat["rays_o"][..., :2] - xyz_min[:2]) / (xyz_max[:2] - xyz_min[:2]) * (sizes - 1)
-        b_all = flat["rays_d"][..., :2] / (xyz_max[:2] - xyz_min[:2]) * (sizes - 1) / (Z - 1)
         rows = sorted({min(r, H - patch) for r in range(0, H, patch)})
         cols = sorted({min(c, W - patch) for c in range(0, W, patch)})
-        sweep_patch = sweep_patch_size_for(model_cfg, a_all, b_all, rows, cols, patch)
+        K_s = model_cfg.n_samples(render_kwargs["stepsize"])
+        mn = jnp.asarray(model_cfg.xyz_min)
+        mx = jnp.asarray(model_cfg.xyz_max)
+
+        @jax.jit
+        def hit_fn(mask_cache, ro, rd):
+            pts = render_ops.sample_ndc_pts_on_rays(ro, rd, K_s)
+            ok = jnp.all((pts >= mn) & (pts <= mx), axis=-1)
+            ok &= grid_sample.nearest_mask_lookup(mask_cache, pts, mn, mx)
+            return ok.any(-1)
+
+        hits = []
+        for v in range(V):
+            hv = np.asarray(hit_fn(
+                buffers["mask_cache"], dev["rays_o"][v].reshape(-1, 3),
+                dev["rays_d"][v].reshape(-1, 3),
+            )).reshape(H, W)
+            for r in rows:
+                for c in cols:
+                    hits.append(bool(hv[r:r + patch, c:c + patch].any()))
+        inmask = np.asarray(hits)
+        print(f"sr: patch_inmask keeps {int(inmask.sum())}/{len(inmask)} patches")
+
+    sample_patch = make_patch_sampler(V, H, W, patch, seed, inmask=inmask)
+
+    def compute_sweep_patch(mcfg):
+        """Safe plane-sweep slice size for the CURRENT grid resolution, or
+        None when the patch footprint no longer fits (pg_scale doubles
+        world_size, so this MUST be re-derived at every boundary -- a stale
+        size makes the hat weights silently read zeros)."""
+        if not (render_kwargs.get("ndc_planes") and model_mod is dmpigo):
+            return None
+        X, Y, Z = mcfg.world_size
+        sizes = np.array([X, Y], dtype=np.float32)
+        mn = np.asarray(mcfg.xyz_min, dtype=np.float32)
+        mx = np.asarray(mcfg.xyz_max, dtype=np.float32)
+        a_all = (flat["rays_o"][..., :2] - mn[:2]) / (mx[:2] - mn[:2]) * (sizes - 1)
+        b_all = flat["rays_d"][..., :2] / (mx[:2] - mn[:2]) * (sizes - 1) / (Z - 1)
+        rows = sorted({min(r, H - patch) for r in range(0, H, patch)})
+        cols = sorted({min(c, W - patch) for c in range(0, W, patch)})
+        sp = sweep_patch_size_for(mcfg, a_all, b_all, rows, cols, patch)
         print(f"sr: plane-sweep patch rendering "
-              f"{'ON (slice ' + str(sweep_patch) + ')' if sweep_patch else 'OFF (footprint too large)'}")
+              f"{'ON (slice ' + str(sp) + ')' if sp else 'OFF (footprint too large)'}"
+              f" at world_size {tuple(mcfg.world_size)}")
+        return sp
+
+    sweep_patch = compute_sweep_patch(model_cfg)
 
     # --- optimizers ---------------------------------------------------------
     base_lrs = optim.build_group_lrs(cfg_train, params)
@@ -394,6 +505,13 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
     enc_opt = optim.init_state({k: params[k] for k in params})
     sr_opt = optim.init_state({"srnet": sr_params})
     d_opt = optim.init_state({"d": d_params}) if use_gan else None
+    if not getattr(args, "no_reload_optimizer", False) and opt_l:
+        enc_opt, r1 = optim.restore_state(opt_l.get("enc"), enc_opt, label="encoder opt")
+        sr_opt, r2 = optim.restore_state(opt_l.get("sr"), sr_opt, label="srnet opt")
+        if use_gan:
+            d_opt, _ = optim.restore_state(opt_l.get("d"), d_opt, label="disc opt")
+        if r1 or r2:
+            print(f"sr ({stage}): restored optimizer state from joint checkpoint")
     lr_srnet0 = float(cfg_train.get("lrate_srnet", 2e-4))
 
     train_step = make_sr_train_step(
@@ -423,7 +541,11 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
     psnr_sr_hist: list = []
     best_lpips = np.inf
     best_psnr = -np.inf
-    steps_since_reset = start
+    if "steps_since_reset" in meta_l:
+        steps_since_reset = int(meta_l["steps_since_reset"])
+    else:
+        prior = [b for b in cfg_train.pg_scale if b <= start]
+        steps_since_reset = start - (max(prior) if prior else 0)
     time0 = time.time()
 
     for global_step in range(1 + start, 1 + cfg_train.N_iters):
@@ -444,6 +566,9 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                 )
             enc_opt = optim.init_state({k: params[k] for k in params})
             steps_since_reset = 0
+            # the grid just doubled: a stale sweep-patch size would make the
+            # hat weights silently read zeros -- re-derive (or drop the sweep)
+            sweep_patch = compute_sweep_patch(model_cfg)
             train_step = make_sr_train_step(
                 model_mod, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
                 skip_zero_grad=skip_zero, sr_model=sr_model, d_model=d_model,
@@ -451,7 +576,7 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                 d_kind=d_kind, sweep_patch=sweep_patch,
             )
 
-        v, r, c = sample_patch()
+        v, r, c = sample_patch(global_step - 1)
         batch = (*gather(dev, dev_hr, v, r, c), w2c_train[v])
 
         decayed = lambda lr0: optim.group_lr(lr0, steps_since_reset, cfg_train.lrate_decay)
@@ -460,7 +585,7 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
             "srnet": decayed(lr_srnet0),
             "d": decayed(lr_srnet0),
         }
-        key, k_step = jax.random.split(key)
+        k_step = jax.random.fold_in(step_key_base, global_step)
         apply_tv = (
             global_step < cfg_train.tv_before and global_step > cfg_train.tv_after
             and global_step % cfg_train.tv_every == 0
@@ -498,6 +623,14 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                     if isinstance(vv, float):
                         writer.scalar(f"val/{k}", vv, global_step)
             gate = val.get("lpips_sr")
+            if gate is None:
+                # reference gates best-checkpoints strictly on LPIPS
+                # (run_sr.py:1150-1156); without the torch lpips package we
+                # can only gate on PSNR -- say so loudly, once
+                if best_psnr == -np.inf:
+                    print(f"sr ({stage}): WARNING lpips unavailable -- best "
+                          "checkpoint gated on PSNR instead of LPIPS "
+                          "(reference gates on LPIPS)")
             improved = (gate is not None and gate < best_lpips) or (
                 gate is None and val["psnr_sr"] > best_psnr
             )
@@ -514,11 +647,15 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
             _save_joint(
                 os.path.join(cfg.basedir, cfg.expname, "ckpt_saved", f"{stage}_{global_step:06d}.npz"),
                 model_mod, model_cfg, params, buffers, sr_params, d_params, d_state, global_step,
+                opt_states={"enc": enc_opt, "sr": sr_opt, "d": d_opt},
+                steps_since_reset=steps_since_reset,
             )
 
     if cfg_train.N_iters > start:
         _save_joint(last_ckpt_path, model_mod, model_cfg, params, buffers, sr_params,
-                    d_params, d_state, cfg_train.N_iters)
+                    d_params, d_state, cfg_train.N_iters,
+                    opt_states={"enc": enc_opt, "sr": sr_opt, "d": d_opt},
+                    steps_since_reset=steps_since_reset)
         print(f"sr ({stage}): saved checkpoint at {last_ckpt_path}")
 
     return model_mod, model_cfg, params, buffers, sr_model, sr_params
@@ -534,15 +671,19 @@ def _force_image_sampler(cfg_train):
 
 
 def _save_joint(path, model_mod, model_cfg, params, buffers, sr_params, d_params,
-                d_state, global_step):
+                d_state, global_step, opt_states: dict | None = None,
+                steps_since_reset: int | None = None):
     extra = {"pipeline": "joint_sr"}
+    if steps_since_reset is not None:
+        extra["steps_since_reset"] = int(steps_since_reset)
     tree = dict(params)
     tree["__sr__"] = sr_params
     if d_params is not None:
         tree["__disc__"] = d_params
         tree["__disc_state__"] = d_state
+    opt = {k: v for k, v in (opt_states or {}).items() if v is not None} or None
     checkpoints.save_checkpoint(
-        path, model_mod.get_kwargs(model_cfg), tree, buffers,
+        path, model_mod.get_kwargs(model_cfg), tree, buffers, opt_state=opt,
         global_step=global_step, extra_meta=extra,
     )
 

@@ -143,28 +143,34 @@ def gather_training_rays(cfg, cfg_train, data_dict, model_mod=None, model_state=
     return flat, mode, ray_lists
 
 
-def make_batch_sampler(sampler: str, flat: dict, n_rand: int, rng: np.random.Generator):
-    """Host-side index generator matching the reference's samplers
-    (lib/dvgo.py:761-819)."""
+def make_batch_sampler(sampler: str, flat: dict, n_rand: int, seed: int):
+    """Host-side index sampler matching the reference's samplers
+    (lib/dvgo.py:761-819).
+
+    Takes the 0-based draw count ``step`` so that resuming from a checkpoint
+    replays the identical batch stream (the epoch permutation is a pure
+    function of ``(seed, epoch)``) -- this is what makes checkpoint resume
+    bit-exact (reference restores optimizer state, lib/utils.py:53-59; its
+    batch stream is not resume-stable, ours is)."""
     if sampler in ("flatten", "in_maskcache"):
         n = flat["rgb"].shape[0]
-        perm = rng.permutation(n)
-        top = 0
+        bpe = max(n // n_rand, 1)  # rollover when top + n_rand > n
+        cache = {"epoch": -1, "perm": None}
 
-        def sample():
-            nonlocal perm, top
-            if top + n_rand > n:
-                perm = rng.permutation(n)
-                top = 0
-            idx = perm[top:top + n_rand]
-            top += n_rand
+        def sample(step: int):
+            epoch, i = divmod(step, bpe)
+            if cache["epoch"] != epoch:
+                cache["epoch"] = epoch
+                cache["perm"] = np.random.default_rng((seed, epoch)).permutation(n)
+            idx = cache["perm"][i * n_rand:(i + 1) * n_rand]
             return ("flat", idx)
 
         return sample
     if sampler == "random":
         V, H, W = flat["rgb"].shape[:3]
 
-        def sample():
+        def sample(step: int):
+            rng = np.random.default_rng((seed, step))
             return (
                 "pix",
                 (
@@ -209,16 +215,19 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
             loss, terms = losses.encoder_losses(
                 out, target, cfg_train, n_rays, near_thres=near_thres
             )
-            return loss, terms
+            # VQ models EMA-update their codebook during the training forward
+            # (reference lib/grid.py:38-103, in-place); thread it out as aux
+            return loss, (terms, out.get("vq_state"))
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (terms, vq_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 
         if apply_tv:
-            if weight_tv_density > 0:
+            if weight_tv_density > 0 and "density" in grads:
                 grads = {**grads, "density": grads["density"] + model_mod.density_tv_grad(
                     model_cfg, params, weight_tv_density, tv_dense, n_rays, grads["density"]
                 )}
-            if weight_tv_k0 > 0:
+            # VQ models have no k0 grid (reference VQGrid has no TV op either)
+            if weight_tv_k0 > 0 and "k0" in grads:
                 grads = {**grads, "k0": grads["k0"] + model_mod.k0_tv_grad(
                     model_cfg, params, weight_tv_k0, tv_dense, n_rays, grads["k0"]
                 )}
@@ -227,7 +236,7 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
             params, grads, opt_state, lrs, skip_zero_grad=skip_zero_grad, per_lr=per_lr
         )
         psnr = -10.0 * jnp.log10(terms["mse"] / max(cfg_train.weight_main, 1e-12))
-        return new_params, new_opt_state, loss, psnr
+        return new_params, new_opt_state, loss, psnr, vq_state
 
     return train_step
 
@@ -238,9 +247,21 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
 
 def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, Ks, *,
                       cfg, render_kwargs, gt_imgs=None, chunk: int = 8192,
-                      eval_ssim=True, eval_lpips_vgg=False, verbose=True):
+                      eval_ssim=True, eval_lpips_vgg=False, eval_lpips_alex=False,
+                      render_factor=0, render_video_flipy=False,
+                      render_video_rot90=0, verbose=True):
     """Chunked full-frame rendering + metrics. Returns dict of stacked
-    outputs and per-frame metric lists."""
+    outputs and per-frame metric lists.
+
+    ``render_factor``: downscale resolution+intrinsics for fast previews and
+    skip metrics (reference run.py:75-79,133). ``render_video_flipy`` /
+    ``render_video_rot90``: post-render frame flip/rotation
+    (reference run.py:149-159)."""
+    if render_factor:
+        HW = (np.asarray(HW, dtype=np.float64) / render_factor).astype(int)
+        Ks = np.copy(np.asarray(Ks))
+        Ks[:, :2, :3] = Ks[:, :2, :3] / render_factor
+        gt_imgs = None  # reference skips metrics at render_factor != 0
     rk = dict(render_kwargs)
     rk.pop("rand_bkgd", None)
     if model_mod is dmpigo and "ndc_planes" not in rk:
@@ -276,7 +297,22 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
         return {k: out[k] for k in ("rgb_marched", "rgb_feature", "depth", "alphainv_last")}
 
     rgbs, feats, depths, bgmaps = [], [], [], []
-    psnrs, ssims, lpips_vgg, frame_times = [], [], [], []
+    psnrs, ssims, lpips_vgg, lpips_alex, frame_times = [], [], [], [], []
+
+    def add_metrics(rgb, fi):
+        gt = np.asarray(gt_imgs[fi])
+        psnrs.append(metrics.psnr(rgb, gt))
+        if eval_ssim:
+            ssims.append(metrics.rgb_ssim(rgb, gt))
+        if eval_lpips_vgg:
+            lp = metrics.rgb_lpips(gt, rgb, "vgg")
+            if lp is not None:
+                lpips_vgg.append(lp)
+        if eval_lpips_alex:
+            lp = metrics.rgb_lpips(gt, rgb, "alex")
+            if lp is not None:
+                lpips_alex.append(lp)
+
     for fi, c2w in enumerate(render_poses):
         H, W = int(HW[fi][0]), int(HW[fi][1])
         if use_sweep:
@@ -290,14 +326,7 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
                 depths.append(np.asarray(out_f["depth"]))
                 bgmaps.append(np.asarray(out_f["alphainv_last"]))
                 if gt_imgs is not None:
-                    gt = np.asarray(gt_imgs[fi])
-                    psnrs.append(metrics.psnr(rgb, gt))
-                    if eval_ssim:
-                        ssims.append(metrics.rgb_ssim(rgb, gt))
-                    if eval_lpips_vgg:
-                        lp = metrics.rgb_lpips(gt, rgb, "vgg")
-                        if lp is not None:
-                            lpips_vgg.append(lp)
+                    add_metrics(rgb, fi)
                 continue
             except ValueError as e:  # footprint guard: fall back to gathers
                 print(f"render_viewpoints: plane-sweep unavailable ({e}); chunked path")
@@ -329,23 +358,28 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
         depths.append(out["depth"].reshape(H, W))
         bgmaps.append(out["alphainv_last"].reshape(H, W))
         if gt_imgs is not None:
-            gt = np.asarray(gt_imgs[fi])
-            psnrs.append(metrics.psnr(rgb, gt))
-            if eval_ssim:
-                ssims.append(metrics.rgb_ssim(rgb, gt))
-            if eval_lpips_vgg:
-                lp = metrics.rgb_lpips(gt, rgb, "vgg")
-                if lp is not None:
-                    lpips_vgg.append(lp)
+            add_metrics(rgb, fi)
     if verbose and psnrs:
         print(f"render_viewpoints: psnr {np.mean(psnrs):.2f}"
               + (f" ssim {np.mean(ssims):.4f}" if ssims else "")
-              + (f" lpips(vgg) {np.mean(lpips_vgg):.4f}" if lpips_vgg else ""))
+              + (f" lpips(vgg) {np.mean(lpips_vgg):.4f}" if lpips_vgg else "")
+              + (f" lpips(alex) {np.mean(lpips_alex):.4f}" if lpips_alex else ""))
+    if render_video_flipy:  # reference run.py:149-153
+        rgbs = [np.flip(x, axis=0) for x in rgbs]
+        feats = [np.flip(x, axis=0) for x in feats]
+        depths = [np.flip(x, axis=0) for x in depths]
+        bgmaps = [np.flip(x, axis=0) for x in bgmaps]
+    if render_video_rot90 != 0:  # reference run.py:155-159
+        k = int(render_video_rot90)
+        rgbs = [np.rot90(x, k=k, axes=(0, 1)) for x in rgbs]
+        feats = [np.rot90(x, k=k, axes=(0, 1)) for x in feats]
+        depths = [np.rot90(x, k=k, axes=(0, 1)) for x in depths]
+        bgmaps = [np.rot90(x, k=k, axes=(0, 1)) for x in bgmaps]
     return {
         "rgbs": np.stack(rgbs), "rgb_features": np.stack(feats),
         "depths": np.stack(depths), "bgmaps": np.stack(bgmaps),
         "psnrs": psnrs, "ssims": ssims, "lpips_vgg": lpips_vgg,
-        "frame_times": frame_times,
+        "lpips_alex": lpips_alex, "frame_times": frame_times,
     }
 
 
@@ -365,8 +399,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
     HW, Ks, poses = data_dict["HW"], data_dict["Ks"], data_dict["poses"]
     near, far = data_dict["near"], data_dict["far"]
     i_train = data_dict["i_train"]
-    rng = np.random.default_rng(getattr(args, "seed", 777))
-    key = jax.random.PRNGKey(getattr(args, "seed", 777))
+    seed = int(getattr(args, "seed", 777))
+    key = jax.random.PRNGKey(seed)
+    step_key_base = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5EED)
 
     last_ckpt_path = os.path.join(cfg.basedir, cfg.expname, f"{stage}_last.npz")
 
@@ -385,6 +420,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
             reload_path = last_ckpt_path
 
     start = 0
+    opt_state_l = None
+    meta_l: dict = {}
     if reload_path is None:
         init_mask = None
         if (not cfg.data.ndc) and coarse_ckpt_path:
@@ -427,7 +464,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
                 reload_path
             )
         else:
-            kwargs_l, params, buffers, opt_state_l, start, _ = checkpoints.load_checkpoint(
+            kwargs_l, params, buffers, opt_state_l, start, meta_l = checkpoints.load_checkpoint(
                 reload_path
             )
         model_cfg = model_mod.make_config(**kwargs_l)
@@ -449,7 +486,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
         model_mod=model_mod, model_state=(model_cfg, params, buffers),
         render_kwargs=render_kwargs,
     )
-    sample_batch = make_batch_sampler(cfg_train.ray_sampler, flat, cfg_train.N_rand, rng)
+    sample_batch = make_batch_sampler(cfg_train.ray_sampler, flat, cfg_train.N_rand, seed)
 
     dev_flat = {k: jnp.asarray(v) for k, v in flat.items()}
 
@@ -477,6 +514,10 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
     base_lrs = optim.build_group_lrs(cfg_train, params)
     skip_zero = frozenset(cfg_train.skip_zero_grad_fields)
     opt_state = optim.init_state({k: params[k] for k in params})
+    if not getattr(args, "no_reload_optimizer", False):
+        opt_state, restored = optim.restore_state(opt_state_l, opt_state)
+        if restored:
+            print(f"scene_rep_reconstruction ({stage}): restored optimizer state")
     near_thres = None
     if model_mod is dcvgo and data_dict.get("near_clip") is not None:
         near_thres = float(data_dict["near_clip"]) / model_cfg.scene_radius[0]
@@ -485,7 +526,13 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
         skip_zero_grad=skip_zero, near_thres=near_thres,
     )
 
-    steps_since_reset = start
+    # lr-decay clock: restored from the checkpoint (it resets at pg_scale
+    # boundaries, so plain ``start`` is wrong after the first boundary)
+    if "steps_since_reset" in meta_l:
+        steps_since_reset = int(meta_l["steps_since_reset"])
+    else:
+        prior = [b for b in cfg_train.pg_scale if b <= start]
+        steps_since_reset = start - (max(prior) if prior else 0)
     psnr_hist: list[float] = []
     best_val_psnr = -1.0
     time0 = time.time()
@@ -520,8 +567,8 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
                 skip_zero_grad=skip_zero, near_thres=near_thres,
             )
 
-        # batch (run.py:479-506)
-        kind, sel = sample_batch()
+        # batch (run.py:479-506); indexed by step so resume replays the stream
+        kind, sel = sample_batch(global_step - 1)
         if kind == "flat":
             rays_o, rays_d, viewdirs, target = gather_flat(dev_flat, jnp.asarray(sel))
         else:
@@ -534,16 +581,20 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
             k: optim.group_lr(v, steps_since_reset, cfg_train.lrate_decay)
             for k, v in base_lrs.items()
         }
-        key, k_step = jax.random.split(key)
+        # per-step key derived from the global step (not a consumed stream)
+        # so a resumed run draws identical randomness
+        k_step = jax.random.fold_in(step_key_base, global_step)
         apply_tv = (
             global_step < cfg_train.tv_before
             and global_step > cfg_train.tv_after
             and global_step % cfg_train.tv_every == 0
         )
-        params, opt_state, loss, psnr = train_step(
+        params, opt_state, loss, psnr, vq_state = train_step(
             params, buffers, opt_state, (rays_o, rays_d, viewdirs, target), lrs, per_lr,
             k_step, apply_tv=bool(apply_tv), tv_dense=bool(global_step < cfg_train.tv_dense_before),
         )
+        if vq_state is not None:  # EMA codebook learning (DirectQVGO)
+            buffers = {**buffers, "vq_state": vq_state}
         steps_since_reset += 1
         psnr_hist.append(float(psnr))
 
@@ -583,12 +634,14 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
             checkpoints.save_checkpoint(
                 os.path.join(cfg.basedir, cfg.expname, f"{stage}_{global_step:06d}.npz"),
                 model_mod.get_kwargs(model_cfg), params, buffers, opt_state, global_step,
+                extra_meta={"steps_since_reset": steps_since_reset},
             )
 
     if cfg_train.N_iters > 0:
         checkpoints.save_checkpoint(
             last_ckpt_path, model_mod.get_kwargs(model_cfg), params, buffers,
             opt_state, cfg_train.N_iters,
+            extra_meta={"steps_since_reset": steps_since_reset},
         )
         print(f"scene_rep_reconstruction ({stage}): saved checkpoint at {last_ckpt_path}")
 
@@ -612,8 +665,9 @@ def _select_model_mod(cfg):
 
 def _make_cfg(model_mod, cfg, xyz_min, xyz_max, num_voxels, model_kwargs):
     kw = dict(model_kwargs)
-    if model_mod is dmpigo:
-        return dmpigo.make_config(
+    if model_mod is dmpigo or getattr(model_mod, "__name__", "").endswith("dvqgo"):
+        # MPI-family models (DirectMPIGO and its VQ variant) take mpi_depth
+        return model_mod.make_config(
             xyz_min=xyz_min, xyz_max=xyz_max, num_voxels=num_voxels,
             mpi_depth=kw.pop("mpi_depth"), **kw,
         )

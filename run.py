@@ -143,6 +143,7 @@ def main():
             gt_imgs=[np.asarray(data_dict["images"][i]) for i in idx],
             eval_ssim=args.eval_ssim or True,
             eval_lpips_vgg=args.eval_lpips_vgg,
+            eval_lpips_alex=args.eval_lpips_alex,
         )
         if args.dump_images:
             import imageio.v2 as imageio
@@ -166,6 +167,9 @@ def main():
             np.tile(data_dict["HW"][0][None], (len(data_dict["render_poses"]), 1)),
             np.tile(data_dict["Ks"][0][None], (len(data_dict["render_poses"]), 1, 1)),
             cfg=cfg, render_kwargs=render_kwargs,
+            render_factor=args.render_video_factor,
+            render_video_flipy=args.render_video_flipy,
+            render_video_rot90=args.render_video_rot90,
         )
         try:
             import imageio.v2 as imageio

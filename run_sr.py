@@ -80,10 +80,23 @@ def main():
             cfg, data_dict["HW"], data_dict["Ks"], data_dict["poses"],
             data_dict["i_train"], data_dict["near"], data_dict["far"],
         )
+        # --ftdvcoa_path: reuse a coarse checkpoint instead of running the
+        # coarse stage -- tightens the bbox and bootstraps the free-space
+        # mask (reference run_sr.py:1197-1225)
+        coarse_ckpt_path = None
+        if args.ftdvcoa_path and cfg.coarse_train.N_iters > 0:
+            from fourk_nerf_tpu.models import dvgo
+
+            coarse_ckpt_path = args.ftdvcoa_path
+            xyz_min, xyz_max = trainer.compute_bbox_by_coarse_geo(
+                dvgo, coarse_ckpt_path, cfg.fine_model_and_render.bbox_thres
+            )
+            print(f"ftdvcoa_path: bbox tightened to {xyz_min} .. {xyz_max}")
         (model_mod, model_cfg, params, buffers, sr_model, sr_params
          ) = sr_trainer.scene_rep_reconstruction_sr_patch(
             args, cfg, cfg.fine_model_and_render, cfg.fine_train,
             xyz_min, xyz_max, data_dict, stage="fine", writer=writer,
+            coarse_ckpt_path=coarse_ckpt_path,
         )
     else:
         from fourk_nerf_tpu.models import sr_esrnet
@@ -141,6 +154,9 @@ def main():
             np.tile(data_dict["HW"][0][None], (n_frames, 1)),
             np.tile(data_dict["Ks"][0][None], (n_frames, 1, 1)),
             cfg=cfg, render_kwargs=render_kwargs,
+            render_factor=args.render_video_factor,
+            render_video_flipy=args.render_video_flipy,
+            render_video_rot90=args.render_video_rot90,
         )
         apply_fn = jax.jit(lambda p, x, c: sr_model.apply({"params": p}, x, c))
         num_cond = int(cfg.fine_model_and_render.get("num_cond", 1))

@@ -61,3 +61,25 @@ def test_get_kwargs_roundtrip():
     cfg2 = dbvgo.make_config(**dbvgo.get_kwargs(cfg))
     assert cfg2.world_size == cfg.world_size
     assert cfg2.bg_preserve == cfg.bg_preserve
+
+
+def test_tensorf_grid_dispatch_bivox():
+    """dbvgo dual fields accept TensoRF grids (reference create_grid is
+    grid-type-generic, /root/reference/lib/grid.py:27-35)."""
+    import jax.numpy as jnp
+
+    cfg = dbvgo.make_config(
+        xyz_min=[-2.0, -2.0, -2.0], xyz_max=[2.0, 2.0, 2.0],
+        num_voxels=20**3, num_voxels_base=20**3, alpha_init=1e-2,
+        rgbnet_dim=4, rgbnet_width=16,
+        density_type="TensoRFGrid", k0_type="TensoRFGrid",
+        density_config={"n_comp": 4}, k0_config={"n_comp": 4},
+    )
+    params, buffers = dbvgo.init(cfg, jax.random.PRNGKey(0))
+    assert isinstance(params["fg"]["density"], dict)
+    rng = np.random.default_rng(0)
+    rays_o = jnp.asarray(rng.uniform(-0.2, 0.2, (8, 3)).astype(np.float32))
+    rays_d = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    out = dbvgo.forward(cfg, params, buffers, rays_o, rays_d, vd, stepsize=1.0, bg=1.0)
+    assert np.isfinite(np.asarray(out["rgb_marched"])).all()
