@@ -240,15 +240,21 @@ def tile_process(apply_fn, params, img, cond, tile_size: int, tile_pad: int = 10
         return carry, core
 
     _, cores = jax.lax.scan(one, None, (tiles, cond_tiles))
-    # paste cores into the output frame
-    out = np.zeros((H * scale, W * scale, 3), dtype=np.float32)
-    cores = np.asarray(cores)
-    for i, (sy, sx) in enumerate(starts):
-        oy, ox = sy * scale, sx * scale
-        h = min(ts * scale, H * scale - oy)
-        w = min(ts * scale, W * scale - ox)
-        out[oy:oy + h, ox:ox + w] = cores[i][:h, :w]
+    # paste cores ON DEVICE: tiles are row-major [ny*nx, hs, hs, 3] -> frame
+    hs = ts * scale
+    out = (cores.reshape(ny, nx, hs, hs, 3).transpose(0, 2, 1, 3, 4)
+           .reshape(ny * hs, nx * hs, 3)[: H * scale, : W * scale])
     return out[None]
+
+
+def apply_bf16(sr_model, params, x, cond):
+    """bf16 SR inference: casts params + activations to bfloat16 for ~2x MXU
+    conv throughput; returns f32. Accuracy vs the f32 path is quantified in
+    tests/test_sr.py (sub-1e-2 absolute on [0,1] images)."""
+    p16 = jax.tree.map(lambda v: v.astype(jnp.bfloat16), params)
+    y = sr_model.apply({"params": p16}, x.astype(jnp.bfloat16),
+                       cond.astype(jnp.bfloat16))
+    return y.astype(jnp.float32)
 
 
 def enhance(apply_fn, params, img, cond=None, *, scale: int = 4, pre_pad: int = 10,

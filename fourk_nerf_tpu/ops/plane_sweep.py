@@ -17,9 +17,14 @@ gathers entirely:
   ``lax.scan`` over k carrying the accumulated transmittance, so the whole
   renderer is (dynamic_slice + matmul + VPU) -- no gathers anywhere.
 
-Numerically identical to the plane-aligned path of
-:func:`fourk_nerf_tpu.models.dmpigo.forward` (zeros padding included: a
-position outside the patch support gets zero hat weight).
+Numerics: with ``use_bf16=False`` the sweep matches the plane-aligned path of
+:func:`fourk_nerf_tpu.models.dmpigo.forward` exactly (zeros padding included:
+a position outside the patch support gets zero hat weight; the free-space
+mask uses one-hot weights = exact nearest-neighbor maskcache semantics).
+With ``use_bf16=True`` (the fast default for metric-free rendering and
+training) grids/MLP matmuls run in bfloat16 with f32 accumulation --
+quantified in tests/test_plane_sweep.py (grad agreement vs f32) and excluded
+from published metric computation (render_viewpoints evaluates in f32).
 """
 
 from __future__ import annotations
@@ -75,8 +80,8 @@ def mask_scale_and_patch(cfg, mask_shape, patch: int):
     sx = (mX - 1) / max(X - 1, 1)
     sy = (mY - 1) / max(Y - 1, 1)
     pm = int(np.ceil(patch * max(sx, sy))) + 4
-    pm = min(int(np.ceil(pm / 8.0) * 8), min(mX, mY))
-    return float(sx), float(sy), max(pm, 8)
+    pm = max(int(np.ceil(pm / 8.0) * 8), 8)
+    return float(sx), float(sy), min(pm, mX, mY)
 
 
 def _affine_coeffs(rays_o, rays_d, xyz_min, xyz_max, sizes, n_samples):

@@ -61,11 +61,56 @@ def shard_grid_params(mesh: Mesh, params: dict) -> dict:
     return {k: place((k, v)) for k, v in params.items()}
 
 
-def all_reduce_dict(mesh: Mesh, d: dict) -> dict:
-    """Mean-reduce scalar metrics across the data axis (replaces
-    ``distributed_utils.all_reduce_dict``). Under jit+sharding this is a
-    no-op wrapper since values are already replicated; kept for API parity."""
-    return d
+def all_reduce_dict(mesh: Mesh, d: dict, axis: str = "data") -> dict:
+    """Mean-reduce a dict of per-device metric values across ``axis``
+    (replaces ``distributed_utils.all_reduce_dict``,
+    /root/reference/torch_utils/distributed_utils.py:143-191).
+
+    Leaves may be host scalars (treated as already replicated) or arrays
+    whose leading dim equals the axis size (one value per device, e.g. a
+    per-shard loss). Returns replicated device scalars (the mean)."""
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[axis]
+
+    def prep(x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 0:
+            x = jnp.broadcast_to(x, (n,))
+        return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+    def _reduce(tree):
+        return jax.tree.map(lambda v: jax.lax.pmean(jnp.mean(v), axis), tree)
+
+    fn = shard_map(_reduce, mesh=mesh, in_specs=P(axis), out_specs=P())
+    with mesh:
+        return fn(jax.tree.map(prep, d))
+
+
+def maybe_initialize_distributed(enable: bool = False, **kwargs) -> bool:
+    """Multi-host wiring: call ``jax.distributed.initialize`` once when
+    requested (CLI ``--multihost`` or coordinator env vars present). The
+    same Mesh/collective code then spans hosts over DCN -- this replaces the
+    reference's ``init_distributed_mode`` NCCL setup
+    (/root/reference/torch_utils/distributed_utils.py:31-62)."""
+    import os
+
+    want = enable or bool(os.environ.get("JAX_COORDINATOR_ADDRESS")
+                          or os.environ.get("COORDINATOR_ADDRESS"))
+    if not want:
+        return False
+    if jax.process_count() > 1:  # already initialized
+        return True
+    try:
+        jax.distributed.initialize(**kwargs)
+        print(f"jax.distributed initialized: process {jax.process_index()}"
+              f"/{jax.process_count()}")
+        return True
+    except Exception as e:
+        print(f"maybe_initialize_distributed: initialize failed ({e}); "
+              "continuing single-process")
+        return False
 
 
 def is_master() -> bool:

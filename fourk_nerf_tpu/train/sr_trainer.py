@@ -29,7 +29,7 @@ import numpy as np
 from fourk_nerf_tpu.models import dmpigo, dvgo, sr_esrnet, sr_unetdisc
 from fourk_nerf_tpu.ops import rays as ray_ops
 from fourk_nerf_tpu.train import checkpoints, losses, optim, sr_losses, trainer
-from fourk_nerf_tpu.utils import metrics
+from fourk_nerf_tpu.utils import metrics, misc, stats as stats_mod
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +250,9 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
         return (new_enc, new_enc_opt, new_sr, new_sr_opt, new_d, new_d_state,
                 new_d_opt, loss, psnr_sr, terms)
 
-    return train_step
+    # jax.profiler annotation on the hot step (observability parity with
+    # torch_utils/misc.py:102-108)
+    return misc.profiled_function(train_step)
 
 
 # ---------------------------------------------------------------------------
@@ -537,8 +539,7 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         )
     )
 
-    loss_hist: dict = {}
-    psnr_sr_hist: list = []
+    collector = stats_mod.Collector()  # training_stats-style moment collector
     best_lpips = np.inf
     best_psnr = -np.inf
     if "steps_since_reset" in meta_l:
@@ -597,21 +598,22 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
             apply_tv=bool(apply_tv), tv_dense=bool(global_step < cfg_train.tv_dense_before),
         )
         steps_since_reset += 1
-        psnr_sr_hist.append(float(psnr_sr))
+        collector.report("train/psnr_sr", stats_mod.moments(psnr_sr))
         for k, t in terms.items():
-            loss_hist.setdefault(k, []).append(float(t))
+            collector.report(f"train/{k}", stats_mod.moments(t))
 
         if global_step % args.i_print == 0:
             eps = time.time() - time0
+            means = {k: st.mean for k, st in sorted(collector.as_dict().items())}
             info = f"sr ({stage}): iter {global_step:6d} / " + " ".join(
-                f"{k}: {np.mean(vv):.6f}" for k, vv in loss_hist.items()
-            ) + f" / PSNR_SR: {np.mean(psnr_sr_hist):5.2f} / Eps: {eps:.0f}s"
+                f"{k.removeprefix('train/')}: {v:.6f}" for k, v in means.items()
+                if k != "train/psnr_sr"
+            ) + f" / PSNR_SR: {means['train/psnr_sr']:5.2f} / Eps: {eps:.0f}s"
             print(info)
             if writer is not None:
-                for k, vv in loss_hist.items():
-                    writer.scalar(f"train/{k}", float(np.mean(vv)), global_step)
-                writer.scalar("train/psnr_sr", float(np.mean(psnr_sr_hist)), global_step)
-            loss_hist, psnr_sr_hist = {}, []
+                for k, v in means.items():
+                    writer.scalar(k, v, global_step)
+            collector.reset()
 
         if args.i_val and global_step % args.i_val == 0 and len(i_val):
             val = evaluate_sr(

@@ -23,7 +23,7 @@ import numpy as np
 from fourk_nerf_tpu.models import dcvgo, dmpigo, dvgo
 from fourk_nerf_tpu.ops import rays as ray_ops
 from fourk_nerf_tpu.train import checkpoints, losses, optim
-from fourk_nerf_tpu.utils import metrics
+from fourk_nerf_tpu.utils import metrics, misc, stats as stats_mod
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +238,9 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
         psnr = -10.0 * jnp.log10(terms["mse"] / max(cfg_train.weight_main, 1e-12))
         return new_params, new_opt_state, loss, psnr, vq_state
 
-    return train_step
+    # jax.profiler trace annotation on the hot step (training_stats-style
+    # observability, torch_utils/misc.py:102-108 analogue)
+    return misc.profiled_function(train_step)
 
 
 # ---------------------------------------------------------------------------
@@ -281,10 +283,13 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
         if tp is None:
             raise ValueError("no (tile, patch) fits this camera's footprint")
         tile, patch = tp
+        # published metrics (gt present) are computed with the f32 sweep --
+        # bf16 is a speed knob for metric-free rendering only
         return plane_sweep.render_frame(
             model_cfg, params, buffers, H, W, K_i, c2w,
             stepsize=rk["stepsize"], bg=rk["bg"], tile=tile, patch=patch,
             inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+            use_bf16=(gt_imgs is None),
         )
 
     @jax.jit
@@ -533,7 +538,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
     else:
         prior = [b for b in cfg_train.pg_scale if b <= start]
         steps_since_reset = start - (max(prior) if prior else 0)
-    psnr_hist: list[float] = []
+    collector = stats_mod.Collector()  # training_stats-style moment collector
     best_val_psnr = -1.0
     time0 = time.time()
 
@@ -596,19 +601,21 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
         if vq_state is not None:  # EMA codebook learning (DirectQVGO)
             buffers = {**buffers, "vq_state": vq_state}
         steps_since_reset += 1
-        psnr_hist.append(float(psnr))
+        collector.report("train/loss", stats_mod.moments(loss))
+        collector.report("train/psnr", stats_mod.moments(psnr))
 
         if global_step % args.i_print == 0:
             eps = time.time() - time0
             print(
                 f"scene_rep_reconstruction ({stage}): iter {global_step:6d} / "
-                f"Loss: {float(loss):.9f} / PSNR: {np.mean(psnr_hist):5.2f} / "
+                f"Loss: {collector.mean('train/loss'):.9f} / "
+                f"PSNR: {collector.mean('train/psnr'):5.2f} / "
                 f"Eps: {eps:.0f}s"
             )
             if writer is not None:
-                writer.scalar("train/loss", float(loss), global_step)
-                writer.scalar("train/psnr", float(np.mean(psnr_hist)), global_step)
-            psnr_hist = []
+                for name, st in collector.as_dict().items():
+                    writer.scalar(name, st.mean, global_step)
+            collector.reset()
 
         if args.i_val and global_step % args.i_val == 0 and len(data_dict["i_val"]):
             res = render_viewpoints(

@@ -44,6 +44,9 @@ def config_parser():
     p.add_argument("--i_print", type=int, default=500)
     p.add_argument("--i_val", type=int, default=1000)
     p.add_argument("--i_weights", type=int, default=100000)
+    # distributed
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize (multi-host SPMD)")
     return p
 
 
@@ -56,6 +59,10 @@ def main():
     cfg = load_config(args.config)
     np.random.seed(args.seed)
     random.seed(args.seed)
+
+    from fourk_nerf_tpu.parallel import mesh as pmesh
+
+    pmesh.maybe_initialize_distributed(args.multihost)
 
     rundir = os.path.join(cfg.basedir, cfg.expname)
     dump_provenance(cfg, args, rundir)

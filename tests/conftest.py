@@ -20,3 +20,11 @@ try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
     pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast core subset (kernels/optim/config/ckpt) -- "
+        "`pytest -m smoke` keeps the inner loop under ~2 min",
+    )

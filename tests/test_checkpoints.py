@@ -9,6 +9,8 @@ from fourk_nerf_tpu.models import dmpigo, sr_esrnet
 from fourk_nerf_tpu.train import checkpoints
 
 
+pytestmark = __import__('pytest').mark.smoke
+
 def test_npz_roundtrip_with_opt_state(tmp_path):
     cfg = dmpigo.make_config(
         xyz_min=[-1, -1, 0], xyz_max=[1, 1, 1], num_voxels=8 * 8 * 4, mpi_depth=4,

@@ -2,6 +2,8 @@ import os
 
 from fourk_nerf_tpu.config import load_config
 
+pytestmark = __import__('pytest').mark.smoke
+
 CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "fourk_nerf_tpu", "configs")
 
 

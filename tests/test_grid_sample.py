@@ -6,6 +6,8 @@ from scipy.ndimage import map_coordinates, maximum_filter
 from fourk_nerf_tpu.ops import grid_sample
 
 
+pytestmark = __import__('pytest').mark.smoke
+
 def test_trilinear_matches_scipy_in_bounds():
     rng = np.random.default_rng(0)
     grid = rng.normal(size=(5, 6, 7, 3)).astype(np.float32)

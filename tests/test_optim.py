@@ -4,6 +4,8 @@ import jax.numpy as jnp
 from fourk_nerf_tpu.train import optim
 
 
+pytestmark = __import__('pytest').mark.smoke
+
 def _adam_oracle(p, g, m, v, step, lr, per_lr=None, masked=False):
     """NumPy replica of adam_upd_kernel.cu:8-58."""
     b1, b2, eps = optim.BETA1, optim.BETA2, optim.EPS

@@ -77,3 +77,66 @@ def test_replica_consistency_check(scene):
     m = pmesh.make_mesh(n_data=8, n_grid=1)
     rep = jax.device_put(params, pmesh.replicate(m))
     misc.check_replica_consistency(rep)  # must not raise
+
+
+def test_plane_sweep_frame_sharded_matches(scene):
+    """The production full-frame plane sweep under a (data x grid) mesh ==
+    single-device (tiles DP + voxel grids spatially sharded)."""
+    import numpy as np
+
+    from fourk_nerf_tpu.ops import plane_sweep
+
+    cfg, params, buffers, *_ = scene
+    H = W = 16
+    f = 24.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], dtype=np.float32)
+    c2w = np.eye(4, dtype=np.float32)[:3, :4]
+    c2w[2, 3] = 1.0
+    ref = plane_sweep.render_frame(cfg, params, buffers, H, W, K, c2w,
+                                   stepsize=1.0, bg=1.0, tile=4, patch=16,
+                                   use_bf16=False)
+    m = pmesh.make_mesh(n_data=4, n_grid=2)
+    params_s = pmesh.shard_grid_params(m, params)
+    buffers_r = jax.device_put(buffers, pmesh.replicate(m))
+    with m:
+        out = plane_sweep.render_frame(cfg, params_s, buffers_r, H, W, K, c2w,
+                                       stepsize=1.0, bg=1.0, tile=4, patch=16,
+                                       use_bf16=False)
+    np.testing.assert_allclose(np.asarray(out["rgb_marched"]),
+                               np.asarray(ref["rgb_marched"]), atol=1e-5)
+
+
+def test_joint_gd_step_sharded_matches():
+    """The PRODUCTION joint G+D train step (sweep path, TV, GAN) DP-sharded
+    over the 8-device mesh == single-device (VERDICT round-1 item 4)."""
+    import numpy as np
+    import __graft_entry__ as ge
+
+    model_cfg, train_step, state, batch, lrs = ge._joint_setup()
+    key = jax.random.PRNGKey(7)
+    ref = train_step(*state[:3], *state[3:], batch, lrs, key,
+                     apply_tv=True, tv_dense=True)
+    m = pmesh.make_mesh(n_data=8, n_grid=1)
+    rep = pmesh.replicate(m)
+    bsh = pmesh.shard_batch(m)
+    state_r = jax.device_put(state, rep)
+    batch_s = (*(jax.device_put(x, bsh) for x in batch[:4]),
+               jax.device_put(batch[4], rep), jax.device_put(batch[5], rep))
+    with m:
+        out = train_step(*state_r[:3], *state_r[3:], batch_s, lrs, key,
+                         apply_tv=True, tv_dense=True)
+    np.testing.assert_allclose(np.asarray(out[0]["density"]),
+                               np.asarray(ref[0]["density"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(out[2])[0]),
+                               np.asarray(jax.tree.leaves(ref[2])[0]), atol=1e-5)
+
+
+def test_all_reduce_dict_means_across_devices():
+    import numpy as np
+
+    m = pmesh.make_mesh(n_data=8, n_grid=1)
+    vals = {"a": np.arange(8, dtype=np.float32),
+            "b": np.float32(3.0)}  # host scalar = replicated
+    red = pmesh.all_reduce_dict(m, vals)
+    assert abs(float(red["a"]) - 3.5) < 1e-6
+    assert abs(float(red["b"]) - 3.0) < 1e-6

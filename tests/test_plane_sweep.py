@@ -191,3 +191,78 @@ def test_sweep_patch_train_matches_forward_values_and_grads():
         assert jax.tree_util.keystr(k1) == jax.tree_util.keystr(k2)
         a, b = np.asarray(a), np.asarray(b)
         assert np.allclose(a, b, atol=5e-5), (jax.tree_util.keystr(k1), np.abs(a - b).max())
+
+
+def test_sweep_patch_train_bf16_grad_accuracy():
+    """The SHIPPED joint-training default is use_bf16=True; validate its
+    gradients against the f32 path (VERDICT round-1 item 3). bf16 matmuls
+    with f32 accumulation: tolerate relative error ~1% of the gradient scale
+    (bf16 has ~3 decimal digits; the loss surface is smooth here)."""
+    from fourk_nerf_tpu.ops import plane_sweep
+
+    cfg = dmpigo.make_config(
+        xyz_min=[-1.3, -1.2, -1.0], xyz_max=[1.3, 1.2, 1.0],
+        num_voxels=64 * 64 * 16, mpi_depth=16,
+        fast_color_thres=1.0 / 16 / 5, rgbnet_dim=6, rgbnet_width=16,
+    )
+    params, buffers = dmpigo.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    params["density"] = jnp.asarray(rng.normal(-1, 2, params["density"].shape).astype(np.float32))
+    params["k0"] = jnp.asarray(rng.normal(0, 1, params["k0"].shape).astype(np.float32))
+    Hf = Wf = 64
+    K, c2w = _cam(Hf, Wf, f=60.0)
+    ro, rd, vd = ray_ops.get_rays_of_a_view(Hf, Wf, K, c2w, ndc=True, inverse_y=False,
+                                            flip_x=False, flip_y=False)
+    sl = np.s_[28:36, 28:36]
+    ro = jnp.asarray(np.asarray(ro)[sl].reshape(-1, 3))
+    rd = jnp.asarray(np.asarray(rd)[sl].reshape(-1, 3))
+    vd = jnp.asarray(np.asarray(vd)[sl].reshape(-1, 3))
+    target = jnp.asarray(np.random.default_rng(7).uniform(size=(64, 3)).astype(np.float32))
+
+    def loss(p, use_bf16):
+        out = plane_sweep.sweep_patch_train(
+            cfg, p, buffers, ro, rd, vd, stepsize=1.0, bg=0.5, patch=32,
+            use_bf16=use_bf16,
+        )
+        return jnp.mean(jnp.abs(out["rgb_marched"] - target))
+
+    v16, g16 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    v32, g32 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    # loss value within bf16 tolerance
+    assert abs(float(v16) - float(v32)) < 3e-3 * max(abs(float(v32)), 1e-3)
+    # per-group gradients: cosine similarity > 0.999 and relative magnitude
+    # within 2% -- descent directions agree
+    for (k1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g16)[0],
+        jax.tree_util.tree_flatten_with_path(g32)[0],
+    ):
+        a = np.asarray(a).ravel().astype(np.float64)
+        b = np.asarray(b).ravel().astype(np.float64)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if nb < 1e-12:
+            assert na < 1e-10, jax.tree_util.keystr(k1)
+            continue
+        cos = float(a @ b / (na * nb))
+        assert cos > 0.999, (jax.tree_util.keystr(k1), cos)
+        assert abs(na / nb - 1.0) < 0.02, (jax.tree_util.keystr(k1), na / nb)
+
+
+def test_render_frame_bf16_quality_delta_quantified():
+    """Quantify the bf16 fast-render deviation vs the f32 sweep: published
+    metrics use f32 (render_viewpoints), bf16 is for throughput -- its PSNR
+    vs the f32 frame must still be high."""
+    from fourk_nerf_tpu.ops import plane_sweep
+
+    cfg, params, buffers = _scene()
+    H, W = 24, 32
+    K, c2w = _cam(H, W)
+    f32 = plane_sweep.render_frame(cfg, params, buffers, H, W, K, c2w,
+                                   stepsize=1.0, bg=0.5, tile=8, patch=24,
+                                   use_bf16=False)
+    b16 = plane_sweep.render_frame(cfg, params, buffers, H, W, K, c2w,
+                                   stepsize=1.0, bg=0.5, tile=8, patch=24,
+                                   use_bf16=True)
+    mse = float(np.mean((np.asarray(f32["rgb_marched"])
+                         - np.asarray(b16["rgb_marched"])) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 45.0, psnr

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 from fourk_nerf_tpu.ops import rays as ray_ops
 
 
+pytestmark = __import__('pytest').mark.smoke
+
 def _simple_cam(H=4, W=6, focal=10.0):
     K = np.array([[focal, 0, W / 2.0], [0, focal, H / 2.0], [0, 0, 1]], dtype=np.float32)
     c2w = np.eye(4, dtype=np.float32)

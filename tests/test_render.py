@@ -5,6 +5,8 @@ import jax.numpy as jnp
 from fourk_nerf_tpu.ops import render
 
 
+pytestmark = __import__('pytest').mark.smoke
+
 # ---------------------------------------------------------------------------
 # raw2alpha
 # ---------------------------------------------------------------------------

@@ -193,3 +193,18 @@ def test_pose_and_viewdir_discriminators():
                       jnp.ones((2, 32, 32, 3)), jnp.ones((2, 8, 8, 63)),
                       update_sn=True, mutable=["spectral"])
     assert out.shape == (2, 1)
+
+
+def test_sftnet_bf16_close_to_f32():
+    """bf16 SR inference (apply_bf16) stays within bf16 tolerance of the f32
+    path on [0,1] images -- validates the fast decode default."""
+    model = sr_esrnet.SFTNet(n_in_colors=3, scale=4, num_feat=16, num_block=1,
+                             num_grow_ch=8, num_cond=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    c = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, c)["params"]
+    y32 = np.asarray(model.apply({"params": params}, x, c))
+    y16 = np.asarray(sr_esrnet.apply_bf16(model, params, x, c))
+    assert y16.shape == y32.shape
+    assert np.abs(y16 - y32).max() < 3e-2, np.abs(y16 - y32).max()
