@@ -42,15 +42,33 @@ from fourk_nerf_tpu.ops import render, rays as ray_ops
 def pack_grids(cfg, params, buffers):
     """Pack density + k0 into one plane-major [Z, X, Y, Cp] array (lane-
     friendly channel count), plus per-plane act_shift [Z], plus the
-    free-space mask resolved per depth plane at its NATIVE resolution
-    ([Z, mX, mY] float) -- the sweep reads it with SNAPPED (one-hot) hat
-    weights in MASK index space, reproducing the reference's
-    nearest-neighbor ``maskcache_lookup`` exactly at any resolution
+    free-space mask. Two mask modes, both reproducing the reference's
+    nearest-neighbor ``maskcache_lookup`` exactly
     (render_utils_kernel.cu:367-424; z is exact because plane-aligned
-    samples sit on integer z)."""
+    samples sit on integer z):
+
+    - CHANNEL mode (mask resolution == grid resolution, the common case):
+      the 0/1 mask rides as an extra channel of the packed grid and the
+      sweep reads it through the SAME patch slice + x-interpolation matmul
+      as the features -- exact nearest semantics come from per-axis
+      snapping (one-hot nearest-y selector picks a single 1-D x-bilerp of
+      the 0/1 mask; ``floor(.+0.5)`` of that value is the mask at the
+      nearest x tap). No separate mask slices/contractions at all.
+    - NATIVE mode (resolutions differ): per-plane mask at its native
+      resolution ([Z, mX, mY] float); the sweep reads it with snapped
+      one-hot hat weights in MASK index space.
+
+    Returns (packed, act_shift, mask_info) with mask_info either
+    ("channel", mask_ch_index) or ("native", mask_planes)."""
     density = params["density"]  # [X,Y,Z,1]
     k0 = params["k0"]            # [X,Y,Z,C]
-    packed = jnp.concatenate([density, k0], axis=-1)  # [X,Y,Z,1+C]
+    mask = buffers["mask_cache"]  # [mX, mY, mZ] bool
+    channel_mode = tuple(mask.shape) == tuple(density.shape[:3])
+
+    parts = [density, k0]
+    if channel_mode:
+        parts.append(mask.astype(density.dtype)[..., None])
+    packed = jnp.concatenate(parts, axis=-1)  # [X,Y,Z,Cp0]
     cp = packed.shape[-1]
     pad = (-cp) % 8
     if pad:
@@ -58,7 +76,9 @@ def pack_grids(cfg, params, buffers):
     packed = jnp.transpose(packed, (2, 0, 1, 3))  # [Z,X,Y,Cp]
     act_shift = buffers["act_shift"][0, 0, :, 0]  # [Z]
 
-    mask = buffers["mask_cache"]  # [mX, mY, mZ] bool
+    if channel_mode:
+        return packed, act_shift, ("channel", cp - 1)
+
     Z = density.shape[2]
     mZ = mask.shape[2]
     if mZ == Z:
@@ -68,7 +88,7 @@ def pack_grids(cfg, params, buffers):
             jnp.arange(Z, dtype=jnp.float32) * (mZ - 1) / max(Z - 1, 1)
         ).astype(jnp.int32)
     mask_planes = jnp.transpose(mask, (2, 0, 1))[zidx].astype(jnp.float32)
-    return packed, act_shift, mask_planes
+    return packed, act_shift, ("native", mask_planes)
 
 
 def mask_scale_and_patch(cfg, mask_shape, patch: int):
@@ -101,7 +121,7 @@ def _hat_weights(pos, offset, P: int):
 def sweep_all_tiles(packed, act_shift, mask_planes, a_tiles, b_tiles, vd_tiles,
                     mlp_params, *, cfg, interval, patch: int, k0_dim: int,
                     bg: float, act, msx: float, msy: float, mpatch: int,
-                    use_bf16: bool = True):
+                    use_bf16: bool = True, mask_ch: int | None = None):
     """Plane-outer sweep: each depth plane is read from HBM exactly once; all
     ray tiles advance together. Per plane: batched patch extraction (one
     dynamic-slice per tile), separable hat-weight interpolation as batched
@@ -112,7 +132,10 @@ def sweep_all_tiles(packed, act_shift, mask_planes, a_tiles, b_tiles, vd_tiles,
     Returns (rgb [T,R,3], depth [T,R], alphainv_last [T,R]).
     """
     Z, X, Y, Cp = packed.shape
-    mX, mY = mask_planes.shape[1:]
+    if mask_ch is None:
+        mX, mY = mask_planes.shape[1:]
+    else:  # mask rides as a packed channel; scan a zero-size dummy instead
+        mask_planes = jnp.zeros((Z, 1, 1), dtype=jnp.float32)
     T, R, _ = a_tiles.shape
     mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     mlp_mm = jax.tree.map(lambda x: x.astype(mm_dtype), mlp_params)
@@ -163,7 +186,15 @@ def sweep_all_tiles(packed, act_shift, mask_planes, a_tiles, b_tiles, vd_tiles,
             preferred_element_type=jnp.float32,
         )
         samp = jnp.einsum("trq,trqc->trc", wy, tmp)  # [T,R,Cp]
-        mval = mask_lookup(mplane, pos)
+        if mask_ch is not None:
+            # in-patch exact nearest mask: one-hot nearest-y picks a single
+            # 1-D x-bilerp of the 0/1 mask channel; floor(+0.5) of that
+            # value is the mask at the nearest x tap
+            wyn = jnp.floor(wy + 0.5)
+            mval = jnp.floor(
+                jnp.einsum("trq,trq->tr", wyn, tmp[..., mask_ch]) + 0.5)
+        else:
+            mval = mask_lookup(mplane, pos)
 
         density = samp[..., 0]
         feat = samp[..., 1:1 + k0_dim]
@@ -274,7 +305,23 @@ def sweep_patch_train(cfg, params, buffers, rays_o, rays_d, viewdirs, *,
 @functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "use_bf16"))
 def _sweep_patch_jit(cfg, params, buffers, a, b, viewdirs, *, interval: float,
                      patch: int, use_bf16: bool):
-    packed, act_shift, mask_planes = pack_grids(cfg, params, buffers)
+    if not use_bf16:
+        # the f32 path is the reference-exact/metrics path: force true-f32
+        # MXU passes (TPU matmul default precision is bf16-grade on f32)
+        with jax.default_matmul_precision("highest"):
+            return _sweep_patch_impl(cfg, params, buffers, a, b, viewdirs,
+                                     interval=interval, patch=patch,
+                                     use_bf16=use_bf16)
+    return _sweep_patch_impl(cfg, params, buffers, a, b, viewdirs,
+                             interval=interval, patch=patch, use_bf16=use_bf16)
+
+
+def _sweep_patch_impl(cfg, params, buffers, a, b, viewdirs, *, interval: float,
+                      patch: int, use_bf16: bool):
+    packed, act_shift, mask_info = pack_grids(cfg, params, buffers)
+    mode, mask_val = mask_info
+    mask_ch = mask_val if mode == "channel" else None
+    mask_planes = mask_val if mode == "native" else None
     msx, msy, mpatch = mask_scale_and_patch(cfg, buffers["mask_cache"].shape, patch)
     act = common.activation(cfg.act_type)
     # single tile: add the T axis
@@ -282,7 +329,7 @@ def _sweep_patch_jit(cfg, params, buffers, a, b, viewdirs, *, interval: float,
         packed, act_shift, mask_planes, a[None], b[None], viewdirs[None],
         params["rgbnet"], cfg=cfg, interval=interval, patch=patch,
         k0_dim=cfg.k0_dim, act=act, msx=msx, msy=msy, mpatch=mpatch,
-        use_bf16=use_bf16,
+        use_bf16=use_bf16, mask_ch=mask_ch,
     )
     return w_t[0], raw_t[0], t_cum_t[0], feat_t[0], None
 
@@ -290,11 +337,15 @@ def _sweep_patch_jit(cfg, params, buffers, a, b, viewdirs, *, interval: float,
 def sweep_all_tiles_train(packed, act_shift, mask_planes, a_tiles, b_tiles,
                           vd_tiles, mlp_params, *, cfg, interval, patch: int,
                           k0_dim: int, act, msx: float, msy: float,
-                          mpatch: int, use_bf16: bool = True):
+                          mpatch: int, use_bf16: bool = True,
+                          mask_ch: int | None = None):
     """Like :func:`sweep_all_tiles` but additionally emits per-sample weights
     and raw rgb ([T, R, Z] / [T, R, Z, 3]) for the training losses."""
     Z, X, Y, Cp = packed.shape
-    mX, mY = mask_planes.shape[1:]
+    if mask_ch is None:
+        mX, mY = mask_planes.shape[1:]
+    else:
+        mask_planes = jnp.zeros((Z, 1, 1), dtype=jnp.float32)
     T, R, _ = a_tiles.shape
     mm_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     mlp_mm = jax.tree.map(lambda x: x.astype(mm_dtype), mlp_params)
@@ -338,7 +389,12 @@ def sweep_all_tiles_train(packed, act_shift, mask_planes, a_tiles, b_tiles,
         tmp = jnp.einsum("trp,tpqc->trqc", wx.astype(mm_dtype), patches.astype(mm_dtype),
                          preferred_element_type=jnp.float32)
         samp = jnp.einsum("trq,trqc->trc", wy, tmp)
-        mval = mask_lookup(mplane, pos)
+        if mask_ch is not None:
+            wyn = jnp.floor(wy + 0.5)
+            mval = jax.lax.stop_gradient(jnp.floor(
+                jnp.einsum("trq,trq->tr", wyn, tmp[..., mask_ch]) + 0.5))
+        else:
+            mval = mask_lookup(mplane, pos)
 
         density = samp[..., 0]
         feat = samp[..., 1:1 + k0_dim]
@@ -384,15 +440,63 @@ def sweep_all_tiles_train(packed, act_shift, mask_planes, a_tiles, b_tiles,
 @functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "bg", "use_bf16"))
 def _sweep_tiles(cfg, params, buffers, a_tiles, b_tiles, vd_tiles, *,
                  interval: float, patch: int, bg: float, use_bf16: bool = True):
-    packed, act_shift, mask_planes = pack_grids(cfg, params, buffers)
+    if not use_bf16:  # metrics path: true-f32 MXU (see _sweep_patch_jit)
+        with jax.default_matmul_precision("highest"):
+            return _sweep_tiles_impl(cfg, params, buffers, a_tiles, b_tiles,
+                                     vd_tiles, interval=interval, patch=patch,
+                                     bg=bg, use_bf16=use_bf16)
+    return _sweep_tiles_impl(cfg, params, buffers, a_tiles, b_tiles, vd_tiles,
+                             interval=interval, patch=patch, bg=bg,
+                             use_bf16=use_bf16)
+
+
+def _sweep_tiles_impl(cfg, params, buffers, a_tiles, b_tiles, vd_tiles, *,
+                      interval: float, patch: int, bg: float, use_bf16: bool):
+    packed, act_shift, mask_info = pack_grids(cfg, params, buffers)
+    mode, mask_val = mask_info
+    mask_ch = mask_val if mode == "channel" else None
+    mask_planes = mask_val if mode == "native" else None
     msx, msy, mpatch = mask_scale_and_patch(cfg, buffers["mask_cache"].shape, patch)
     act = common.activation(cfg.act_type)
     return sweep_all_tiles(
         packed, act_shift, mask_planes, a_tiles, b_tiles, vd_tiles,
         params["rgbnet"], cfg=cfg, interval=interval, patch=patch,
         k0_dim=cfg.k0_dim, bg=bg, act=act, msx=msx, msy=msy, mpatch=mpatch,
-        use_bf16=use_bf16,
+        use_bf16=use_bf16, mask_ch=mask_ch,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "tile", "X", "Y", "Z", "inverse_y", "flip_x",
+                     "flip_y"),
+)
+def _tile_spread(K, c2w, xyz_min, xyz_max, *, H: int, W: int, tile: int,
+                 X: int, Y: int, Z: int, inverse_y: bool, flip_x: bool,
+                 flip_y: bool):
+    """Max per-tile footprint spread at the k extremes, fully on device (one
+    scalar crosses to the host -- pulling the [H,W,2] affine maps through a
+    tunneled device link costs seconds)."""
+    ro, rd, _ = ray_ops.get_rays_of_a_view(
+        H, W, K, c2w, ndc=True, inverse_y=inverse_y, flip_x=flip_x,
+        flip_y=flip_y)
+    sizes = jnp.asarray([X, Y], dtype=jnp.float32)
+    a, b = _affine_coeffs(ro, rd, xyz_min, xyz_max, sizes, Z)
+    ph, pw = (-H) % tile, (-W) % tile
+    pad2 = lambda x: jnp.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    a_t, b_t = pad2(a), pad2(b)
+    nty, ntx = (H + ph) // tile, (W + pw) // tile
+
+    def tiles_of(x):
+        return (x.reshape(nty, tile, ntx, tile, 2).transpose(0, 2, 1, 3, 4)
+                .reshape(nty * ntx, tile * tile, 2))
+
+    at, bt = tiles_of(a_t), tiles_of(b_t)
+    spread = jnp.float32(0.0)
+    for k in (0.0, float(Z - 1)):
+        pos = at + bt * k
+        spread = jnp.maximum(spread, (pos.max(1) - pos.min(1)).max())
+    return spread
 
 
 def auto_tile_patch(cfg, H, W, K, c2w, *, inverse_y=False, flip_x=False,
@@ -402,27 +506,46 @@ def auto_tile_patch(cfg, H, W, K, c2w, *, inverse_y=False, flip_x=False,
     (tile, patch) or None when even tile=4 cannot fit (caller falls back)."""
     X, Y, Z = cfg.world_size
     max_patch = max_patch or min(X, Y)
-    ro, rd, _ = ray_ops.get_rays_of_a_view(
-        H, W, K, c2w, ndc=True, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y
-    )
-    sizes = jnp.asarray([X, Y], dtype=jnp.float32)
-    a, b = _affine_coeffs(ro, rd, jnp.asarray(cfg.xyz_min), jnp.asarray(cfg.xyz_max),
-                          sizes, Z)
-    a, b = np.asarray(a), np.asarray(b)
     tile = 32
     while tile >= 4:
-        spread = 0.0
-        for k in (0.0, float(Z - 1)):
-            pos = a + b * k
-            for ty in range(0, H, tile):
-                for tx in range(0, W, tile):
-                    blk = pos[ty:ty + tile, tx:tx + tile].reshape(-1, 2)
-                    spread = max(spread, float((blk.max(0) - blk.min(0)).max()))
+        spread = float(_tile_spread(
+            jnp.asarray(K), jnp.asarray(c2w), jnp.asarray(cfg.xyz_min),
+            jnp.asarray(cfg.xyz_max), H=H, W=W, tile=tile, X=X, Y=Y, Z=Z,
+            inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y))
         patch = int(np.ceil((spread + 4) / 8.0) * 8)
         if patch <= max_patch:
             return tile, max(patch, 16)
         tile //= 2
     return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "tile", "X", "Y", "Z", "vpe", "inverse_y",
+                     "flip_x", "flip_y"),
+)
+def _prep_tiles(K, c2w, xyz_min, xyz_max, *, H: int, W: int, tile: int,
+                X: int, Y: int, Z: int, vpe: int, inverse_y: bool,
+                flip_x: bool, flip_y: bool):
+    """Device-side frame prep in one dispatch: rays -> affine coeffs ->
+    row-major [T, R, c] tiles (vpe=0 returns raw viewdirs)."""
+    ro, rd, vd = ray_ops.get_rays_of_a_view(
+        H, W, K, c2w, ndc=True, inverse_y=inverse_y, flip_x=flip_x,
+        flip_y=flip_y)
+    sizes = jnp.asarray([X, Y], dtype=jnp.float32)
+    a, b = _affine_coeffs(ro, rd, xyz_min, xyz_max, sizes, Z)
+    ph, pw = (-H) % tile, (-W) % tile
+    pad2 = lambda x: jnp.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    a_t, b_t, vd_t = pad2(a), pad2(b), pad2(vd)
+    nty, ntx = (H + ph) // tile, (W + pw) // tile
+
+    def tiles_of(x):
+        c = x.shape[-1]
+        return (x.reshape(nty, tile, ntx, tile, c).transpose(0, 2, 1, 3, 4)
+                .reshape(nty * ntx, tile * tile, c))
+
+    vd_out = ray_ops.positional_encoding(vd_t, vpe) if vpe else vd_t
+    return tiles_of(a_t), tiles_of(b_t), tiles_of(vd_out)
 
 
 def render_frame(cfg, params, buffers, H: int, W: int, K, c2w, *, stepsize: float,
@@ -438,41 +561,26 @@ def render_frame(cfg, params, buffers, H: int, W: int, K, c2w, *, stepsize: floa
     X, Y, Z = cfg.world_size
     sizes = jnp.asarray([X, Y], dtype=jnp.float32)
 
-    ro, rd, vd = ray_ops.get_rays_of_a_view(
-        H, W, K, c2w, ndc=True, inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y
-    )
-    a, b = _affine_coeffs(ro, rd, xyz_min, xyz_max, sizes, Z)
-
     # safety: every tile's footprint (at both sample extremes) must fit the
-    # patch, else hat weights silently read zeros
-    a_np, b_np = np.asarray(a), np.asarray(b)
-    for k_ext in (0.0, float(Z - 1)):
-        p = a_np + b_np * k_ext
-        for ty in range(0, H, tile):
-            for tx in range(0, W, tile):
-                blk = p[ty:ty + tile, tx:tx + tile]
-                spread = blk.reshape(-1, 2).max(0) - blk.reshape(-1, 2).min(0)
-                if (spread > patch - 3).any():
-                    raise ValueError(
-                        f"tile footprint {spread} exceeds patch {patch}; "
-                        "increase patch or decrease tile"
-                    )
+    # patch, else hat weights silently read zeros. The check runs on device
+    # and pulls ONE scalar (a host-side check would pull the [H,W,2] affine
+    # maps -- seconds through a tunneled device link).
+    spread = float(_tile_spread(
+        jnp.asarray(K), jnp.asarray(c2w), xyz_min, xyz_max,
+        H=H, W=W, tile=tile, X=X, Y=Y, Z=Z,
+        inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y))
+    if spread > patch - 3:
+        raise ValueError(
+            f"tile footprint {spread} exceeds patch {patch}; "
+            "increase patch or decrease tile")
 
-    # pad to tile multiples, cut tiles
+    a_tiles, b_tiles, vd_tiles = _prep_tiles(
+        jnp.asarray(K), jnp.asarray(c2w), xyz_min, xyz_max,
+        H=H, W=W, tile=tile, X=X, Y=Y, Z=Z, vpe=0,
+        inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
     ph, pw = (-H) % tile, (-W) % tile
-    pad2 = lambda x: jnp.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
-    a_t, b_t, vd_t = pad2(a), pad2(b), pad2(vd)
     Ht, Wt = H + ph, W + pw
     nty, ntx = Ht // tile, Wt // tile
-
-    def tiles_of(x):
-        c = x.shape[-1]
-        return (
-            x.reshape(nty, tile, ntx, tile, c).transpose(0, 2, 1, 3, 4)
-            .reshape(nty * ntx, tile * tile, c)
-        )
-
-    a_tiles, b_tiles, vd_tiles = tiles_of(a_t), tiles_of(b_t), tiles_of(vd_t)
 
     interval = stepsize * cfg.voxel_size_ratio
     rgb, depth, ail = _sweep_tiles(

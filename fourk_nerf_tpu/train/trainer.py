@@ -274,7 +274,7 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
     use_sweep = bool(rk.get("ndc_planes")) and model_mod is dmpigo and "rgbnet" in params
 
     def sweep_frame(H, W, K_i, c2w):
-        from fourk_nerf_tpu.ops import plane_sweep
+        from fourk_nerf_tpu.ops import pallas_sweep, plane_sweep
 
         tp = plane_sweep.auto_tile_patch(
             model_cfg, H, W, K_i, c2w,
@@ -283,6 +283,19 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
         if tp is None:
             raise ValueError("no (tile, patch) fits this camera's footprint")
         tile, patch = tp
+        if gt_imgs is None:
+            # metric-free rendering (videos, previews): the fused Pallas
+            # sweep-tile kernel with per-tile early plane termination
+            try:
+                return pallas_sweep.render_frame_pallas(
+                    model_cfg, params, buffers, H, W, K_i, c2w,
+                    stepsize=rk["stepsize"], bg=rk["bg"], tile=tile, patch=patch,
+                    inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+                    flip_y=cfg.data.flip_y, use_bf16=True,
+                )
+            except Exception as e:  # fall back to the XLA sweep
+                print(f"pallas sweep unavailable ({type(e).__name__}: {e}); "
+                      "using XLA sweep")
         # published metrics (gt present) are computed with the f32 sweep --
         # bf16 is a speed knob for metric-free rendering only
         return plane_sweep.render_frame(
@@ -294,11 +307,13 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
 
     @jax.jit
     def fwd(ro, rd, vd):
-        out = model_mod.forward(
-            model_cfg, params, buffers, ro, rd, vd,
-            stepsize=rk["stepsize"], near=rk["near"], far=rk["far"], bg=rk["bg"],
-            render_depth=True, ndc_planes=bool(rk.get("ndc_planes", False)),
-        )
+        # metrics path: force true-f32 MXU passes (TPU default is bf16-grade)
+        with jax.default_matmul_precision("highest"):
+            out = model_mod.forward(
+                model_cfg, params, buffers, ro, rd, vd,
+                stepsize=rk["stepsize"], near=rk["near"], far=rk["far"], bg=rk["bg"],
+                render_depth=True, ndc_planes=bool(rk.get("ndc_planes", False)),
+            )
         return {k: out[k] for k in ("rgb_marched", "rgb_feature", "depth", "alphainv_last")}
 
     rgbs, feats, depths, bgmaps = [], [], [], []

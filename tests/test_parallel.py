@@ -79,14 +79,25 @@ def test_replica_consistency_check(scene):
     misc.check_replica_consistency(rep)  # must not raise
 
 
-def test_plane_sweep_frame_sharded_matches(scene):
+def test_plane_sweep_frame_sharded_matches():
     """The production full-frame plane sweep under a (data x grid) mesh ==
     single-device (tiles DP + voxel grids spatially sharded)."""
     import numpy as np
 
     from fourk_nerf_tpu.ops import plane_sweep
 
-    cfg, params, buffers, *_ = scene
+    # plane-aligned NDC scene (z-bbox must be [-1, 1] with n_samples ==
+    # mpi_depth for the sweep's fast-path conditions to hold)
+    cfg = dmpigo.make_config(
+        xyz_min=[-1, -1, -1], xyz_max=[1, 1, 1], num_voxels=16 * 16 * 8,
+        mpi_depth=8, fast_color_thres=1e-4, rgbnet_dim=4, rgbnet_width=16,
+    )
+    params, buffers = dmpigo.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    params["density"] = jnp.asarray(
+        rng.normal(0, 1, params["density"].shape).astype(np.float32))
+    params["k0"] = jnp.asarray(
+        rng.normal(0, 1, params["k0"].shape).astype(np.float32))
     H = W = 16
     f = 24.0
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], dtype=np.float32)
@@ -125,10 +136,12 @@ def test_joint_gd_step_sharded_matches():
     with m:
         out = train_step(*state_r[:3], *state_r[3:], batch_s, lrs, key,
                          apply_tv=True, tv_dense=True)
+    # bf16 production step: sharding reorders reductions, so agreement is
+    # at bf16 granularity (same tolerance as dryrun_multichip)
     np.testing.assert_allclose(np.asarray(out[0]["density"]),
-                               np.asarray(ref[0]["density"]), atol=1e-5)
+                               np.asarray(ref[0]["density"]), atol=2e-2)
     np.testing.assert_allclose(np.asarray(jax.tree.leaves(out[2])[0]),
-                               np.asarray(jax.tree.leaves(ref[2])[0]), atol=1e-5)
+                               np.asarray(jax.tree.leaves(ref[2])[0]), atol=2e-2)
 
 
 def test_all_reduce_dict_means_across_devices():

@@ -30,28 +30,48 @@ def main():
     c2w = np.eye(4, dtype=np.float32)[:3, :4]
     c2w[2, 3] = 1.0
 
+    import os
+    only = os.environ.get("BP_ONLY", "")
     variants = [
         ("pallas_ee_bf16", dict(use_bf16=True, early_exit=True)),
         ("pallas_noee_bf16", dict(use_bf16=True, early_exit=False)),
         ("pallas_noee_f32", dict(use_bf16=False, early_exit=False)),
+        ("tight40", dict(use_bf16=True, early_exit=False, patch=40)),
+        ("ab_noy", dict(use_bf16=True, early_exit=False, ablate="noy")),
+        ("ab_nomask", dict(use_bf16=True, early_exit=False, ablate="nomask")),
+        ("ab_nomlp", dict(use_bf16=True, early_exit=False, ablate="nomlp")),
+        ("ab_lok", dict(use_bf16=True, early_exit=False, ablate="lok")),
+        ("ab_min", dict(use_bf16=True, early_exit=False,
+                        ablate="lok,noy,nomask,nomlp")),
     ]
     for name, kw in variants:
+        if only and only not in name:
+            continue
+        kw = dict(kw)
+        patch = kw.pop("patch", 48)
         try:
+            def sync(o):
+                # 1-element fetch: forces completion of the whole program
+                # (block_until_ready under-reports on the tunneled remote
+                # backend; a full np.asarray pulls ~9MB at ~2MB/s)
+                return float(o["rgb_marched"][0, 0, 0])
+
             t0 = time.perf_counter()
             out = pallas_sweep.render_frame_pallas(
                 cfg, params, buffers, H, W, K, c2w, stepsize=1.0, bg=1.0,
-                tile=32, patch=48, **kw)
-            _ = np.asarray(out["rgb_marched"])
+                tile=32, patch=patch, **kw)
+            sync(out)
             compile_s = time.perf_counter() - t0
             ts = []
-            for _i in range(3):
+            for _i in range(5):
                 t0 = time.perf_counter()
                 out = pallas_sweep.render_frame_pallas(
                     cfg, params, buffers, H, W, K, c2w, stepsize=1.0, bg=1.0,
-                    tile=32, patch=48, **kw)
-                _ = np.asarray(out["rgb_marched"])
+                    tile=32, patch=patch, **kw)
+                sync(out)
                 ts.append(time.perf_counter() - t0)
-            print(name, {"ms": round(float(np.median(ts)) * 1e3, 1),
+            print(name, {"ms": round(float(np.min(ts)) * 1e3, 1),
+                         "med_ms": round(float(np.median(ts)) * 1e3, 1),
                          "compile_s": round(compile_s, 1)}, flush=True)
         except Exception as e:
             print(name, "FAILED:", repr(e)[:500], flush=True)
