@@ -46,33 +46,86 @@ class SFTLayer(nn.Module):
         return x * (scale + 1.0) + shift
 
 
-def _rdb_conv(features, name):
+def _rdb_kernel_init(key, shape, dtype=jnp.float32):
     # the reference scales kaiming-normal init by 0.1 for dense-block convs
     # (lib/sr_esrnet.py:78); kaiming_normal over fan_in with relu gain
-    def init(key, shape, dtype):
-        fan_in = shape[0] * shape[1] * shape[2]
-        std = math.sqrt(2.0 / fan_in)
-        return 0.1 * std * jax.random.normal(key, shape, dtype)
+    fan_in = shape[0] * shape[1] * shape[2]
+    std = math.sqrt(2.0 / fan_in)
+    return 0.1 * std * jax.random.normal(key, shape, dtype)
 
-    return nn.Conv(features, (3, 3), kernel_init=init, name=name)
+
+def _rdb_conv(features, name):
+    return nn.Conv(features, (3, 3), kernel_init=_rdb_kernel_init, name=name)
+
+
+class _ConvP(nn.Module):
+    """Parameter container matching nn.Conv's tree ({kernel, bias}) for the
+    dense-block convs whose kernels are re-grouped at apply time."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _rdb_kernel_init, (3, 3, self.cin, self.cout))
+        b = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return k, b
+
+
+def _conv3(x, kernel):
+    # f32 accumulation regardless of the compute dtype: the fused dense
+    # block sums up to 5 partial convs, which must not round between adds
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
 
 
 class ResidualDenseBlockSFT(nn.Module):
     """Dense block with SFT conditioning at entry and before the fuse conv
-    (reference lib/sr_esrnet.py:126-158)."""
+    (reference lib/sr_esrnet.py:126-158). Evaluated source-grouped (see
+    :func:`_dense_block_fused`); the parameter tree is identical to the
+    per-conv formulation, so torch-checkpoint import is unchanged."""
 
     num_feat: int = 64
     num_grow_ch: int = 32
 
     @nn.compact
     def __call__(self, x, cond):
-        xc0 = SFTLayer(self.num_feat, self.num_grow_ch, name="sft0")(x, cond)
-        x1 = _lrelu(_rdb_conv(self.num_grow_ch, "conv1")(xc0))
-        x2 = _lrelu(_rdb_conv(self.num_grow_ch, "conv2")(jnp.concatenate([xc0, x1], -1)))
-        x3 = _lrelu(_rdb_conv(self.num_grow_ch, "conv3")(jnp.concatenate([xc0, x1, x2], -1)))
-        x4 = _lrelu(_rdb_conv(self.num_grow_ch, "conv4")(jnp.concatenate([xc0, x1, x2, x3], -1)))
-        xc1 = SFTLayer(self.num_grow_ch, self.num_grow_ch, name="sft1")(x4, cond)
-        x5 = _rdb_conv(self.num_feat, "conv5")(jnp.concatenate([xc0, x1, x2, x3, xc1], -1))
+        F, G = self.num_feat, self.num_grow_ch
+        xc0 = SFTLayer(F, G, name="sft0")(x, cond)
+        ks, bs = zip(*[
+            _ConvP(F + i * G, G if i < 4 else F, name=f"conv{i+1}")()
+            for i in range(5)])
+        splits = [F, G, G, G, G]
+
+        # sources: conv5 consumes xc1 = sft1(x4) instead of x4, so the
+        # fused walk substitutes it as source 4 (index into x0_list)
+        n = len(ks)
+        cum = np.cumsum([0] + splits)
+        acc = [None] * n
+
+        def add(a, v):
+            return v if a is None else a + v
+
+        src = xc0
+        for j in range(n):
+            kj = jnp.concatenate(
+                [ks[t][:, :, cum[j]:cum[j + 1], :] for t in range(j, n)],
+                axis=-1)
+            wide = _conv3(src, kj)  # f32
+            off = 0
+            for t in range(j, n):
+                cout = ks[t].shape[-1]
+                acc[t] = add(acc[t], wide[..., off:off + cout])
+                off += cout
+            if j < n - 1:
+                y = _lrelu(acc[j] + bs[j].astype(jnp.float32)).astype(x.dtype)
+                if j == 3:  # x4 -> sft1 -> conv5's last source
+                    src = SFTLayer(G, G, name="sft1")(y, cond)
+                else:
+                    src = y
+        x5 = (acc[n - 1] + bs[n - 1].astype(jnp.float32)).astype(x.dtype)
         return x5 * 0.2 + x
 
 
@@ -138,11 +191,34 @@ class ResidualDenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x1 = _lrelu(_rdb_conv(self.num_grow_ch, "conv1")(x))
-        x2 = _lrelu(_rdb_conv(self.num_grow_ch, "conv2")(jnp.concatenate([x, x1], -1)))
-        x3 = _lrelu(_rdb_conv(self.num_grow_ch, "conv3")(jnp.concatenate([x, x1, x2], -1)))
-        x4 = _lrelu(_rdb_conv(self.num_grow_ch, "conv4")(jnp.concatenate([x, x1, x2, x3], -1)))
-        x5 = _rdb_conv(self.num_feat, "conv5")(jnp.concatenate([x, x1, x2, x3, x4], -1))
+        # source-grouped evaluation (see ResidualDenseBlockSFT): one wide
+        # conv per source instead of five 32-out convs + big concats
+        F, G = self.num_feat, self.num_grow_ch
+        ks, bs = zip(*[
+            _ConvP(F + i * G, G if i < 4 else F, name=f"conv{i+1}")()
+            for i in range(5)])
+        splits = [F, G, G, G, G]
+        n = len(ks)
+        cum = np.cumsum([0] + splits)
+        acc = [None] * n
+
+        def add(a, v):
+            return v if a is None else a + v
+
+        src = x
+        for j in range(n):
+            kj = jnp.concatenate(
+                [ks[t][:, :, cum[j]:cum[j + 1], :] for t in range(j, n)],
+                axis=-1)
+            wide = _conv3(src, kj)  # f32
+            off = 0
+            for t in range(j, n):
+                cout = ks[t].shape[-1]
+                acc[t] = add(acc[t], wide[..., off:off + cout])
+                off += cout
+            if j < n - 1:
+                src = _lrelu(acc[j] + bs[j].astype(jnp.float32)).astype(x.dtype)
+        x5 = (acc[n - 1] + bs[n - 1].astype(jnp.float32)).astype(x.dtype)
         return x5 * 0.2 + x
 
 

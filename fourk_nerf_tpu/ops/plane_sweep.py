@@ -499,6 +499,9 @@ def _tile_spread(K, c2w, xyz_min, xyz_max, *, H: int, W: int, tile: int,
     return spread
 
 
+_spread_cache: dict = {}  # pose-keyed: one ~35ms tunnel pull per NEW camera
+
+
 def auto_tile_patch(cfg, H, W, K, c2w, *, inverse_y=False, flip_x=False,
                     flip_y=False, max_patch: int | None = None):
     """Pick (tile, patch) so every tile's footprint fits its slice: start at
@@ -508,10 +511,18 @@ def auto_tile_patch(cfg, H, W, K, c2w, *, inverse_y=False, flip_x=False,
     max_patch = max_patch or min(X, Y)
     tile = 32
     while tile >= 4:
-        spread = float(_tile_spread(
-            jnp.asarray(K), jnp.asarray(c2w), jnp.asarray(cfg.xyz_min),
-            jnp.asarray(cfg.xyz_max), H=H, W=W, tile=tile, X=X, Y=Y, Z=Z,
-            inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y))
+        key = (np.asarray(K).tobytes(), np.asarray(c2w).tobytes(), H, W,
+               tile, X, Y, Z, inverse_y, flip_x, flip_y,
+               tuple(cfg.xyz_min), tuple(cfg.xyz_max))
+        spread = _spread_cache.get(key)
+        if spread is None:
+            spread = float(_tile_spread(
+                jnp.asarray(K), jnp.asarray(c2w), jnp.asarray(cfg.xyz_min),
+                jnp.asarray(cfg.xyz_max), H=H, W=W, tile=tile, X=X, Y=Y, Z=Z,
+                inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y))
+            if len(_spread_cache) > 64:
+                _spread_cache.clear()
+            _spread_cache[key] = spread
         patch = int(np.ceil((spread + 4) / 8.0) * 8)
         if patch <= max_patch:
             return tile, max(patch, 16)
@@ -564,11 +575,19 @@ def render_frame(cfg, params, buffers, H: int, W: int, K, c2w, *, stepsize: floa
     # safety: every tile's footprint (at both sample extremes) must fit the
     # patch, else hat weights silently read zeros. The check runs on device
     # and pulls ONE scalar (a host-side check would pull the [H,W,2] affine
-    # maps -- seconds through a tunneled device link).
-    spread = float(_tile_spread(
-        jnp.asarray(K), jnp.asarray(c2w), xyz_min, xyz_max,
-        H=H, W=W, tile=tile, X=X, Y=Y, Z=Z,
-        inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y))
+    # maps -- seconds through a tunneled device link), pose-cached.
+    skey = (np.asarray(K).tobytes(), np.asarray(c2w).tobytes(), H, W,
+            tile, X, Y, Z, inverse_y, flip_x, flip_y,
+            tuple(cfg.xyz_min), tuple(cfg.xyz_max))
+    spread = _spread_cache.get(skey)
+    if spread is None:
+        spread = float(_tile_spread(
+            jnp.asarray(K), jnp.asarray(c2w), xyz_min, xyz_max,
+            H=H, W=W, tile=tile, X=X, Y=Y, Z=Z,
+            inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y))
+        if len(_spread_cache) > 64:
+            _spread_cache.clear()
+        _spread_cache[skey] = spread
     if spread > patch - 3:
         raise ValueError(
             f"tile footprint {spread} exceeds patch {patch}; "
