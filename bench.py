@@ -112,11 +112,30 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1))
     )["params"]
 
+    from fourk_nerf_tpu.ops import pallas_sr
+
     @jax.jit
-    def sr_full(p, x, c):
+    def sr_xla(p, x, c):
         # bf16 decode: ~2x MXU conv throughput; accuracy quantified in
         # tests/test_sr.py (sub-1e-2 absolute on [0,1] images)
         return sr_esrnet.apply_bf16(sr_model, p, x, c)
+
+    @jax.jit
+    def sr_pallas(p, x, c):
+        # fused dense-block decode: VMEM-resident RRDB body (ops/pallas_sr.py)
+        return pallas_sr.sftnet_apply_pallas(p, x, c, scale=sr_scale,
+                                             num_block=5, th=48, tw=128)
+
+    use_sr_pallas = [True]
+
+    def sr_full(p, x, c):
+        if use_sr_pallas[0]:
+            try:
+                return sr_pallas(p, x, c)
+            except Exception as e:
+                print(f"# pallas SR unavailable ({type(e).__name__}); XLA decode")
+                use_sr_pallas[0] = False
+        return sr_xla(p, x, c)
 
     def one_frame():
         feat, depth = encode_frame()
