@@ -2,27 +2,38 @@
 
 The VC-Decoder's RRDB_SFT body (reference /root/reference/lib/sr_esrnet.py:
 126-182,446-465) is 15 dense-block applications per frame; under XLA every
-dense conv round-trips activations through HBM and the 32-channel growth
-width underfills the 128-lane MXU, leaving the 4K decode bandwidth-bound
-(~430 ms of a ~550 ms fern frame). Here one whole dense block runs per
-pallas_call: a halo'd spatial tile is DMA'd into VMEM once (double-buffered
-across the tile grid), all five dense convs + both SFT layers + the
-residual run out of a channel-concatenated VMEM source buffer, and only the
-tile core is written back -- zero HBM traffic for intermediates.
+dense conv round-trips activations through HBM (measured ~154 GB/s
+effective on this chip -- the body is bandwidth-bound at ~400 ms of a
+~550 ms fern frame) and the 32-channel growth width underfills the
+128-lane MXU. Here one whole dense block runs per pallas_call: a halo'd
+spatial tile is DMA'd into VMEM once (double-buffered across the tile
+grid), all five dense convs + both SFT layers + the residual run out of
+VMEM, and only the tile core is written back.
 
-Conv formulation: activations live in FLATTENED pixel space [P, C] with a
-zero ring of ``ww+1`` rows on both ends; a 3x3 SAME conv is nine
-statically-offset ``[P, Cin] @ [Cin, Cout]`` MXU matmuls (offset
-``(dy-1)*ww + (dx-1)``). Row-wrap contamination (pixel (i,0) reading
-(i-1, ww-1)) only touches the window edge ring, which the 5-deep halo
-absorbs. Exact per-layer zero-pad semantics at the TRUE frame boundary are
-restored by masking activations outside ``[0,H)x[0,W)`` after every
-nonlinearity -- so the fused body is exact for any tile split, including
-frames that don't divide the tile size.
+Conv formulation (v2, shaped by measurement): activations live in
+FLATTENED pixel space. Each source tensor is stored THREE TIMES,
+dx-shifted by {-1,0,+1} and concatenated on lanes ([P, 3c]); a 3x3 conv
+is then three matmuls at row offsets (dy-1)*ww -- offsets sublane-ALIGNED
+because ww is a multiple of 16 -- with the dx taps folded into the weight
+K-dim ([3c, N]). The first version instead sliced one source buffer at 45
+unaligned offsets; Mosaic materializes every such read (~106 MB of VMEM
+relayout per tile), which measured no faster than the XLA convs. The v2
+scheme writes 10.6 MB/tile (three shifted stores), reads aligned, and the
+grouped-source walk emits wide outputs (every later target at once),
+cutting MXU passes from 63 to 27 per 8 pixels.
+
+Window DMA uses CLAMPED window starts (no pre-padded frame copy): edge
+tiles track the core offset inside their window. Exact per-layer SAME
+zero-padding at the true frame boundary is restored by masking
+activations outside [0,H)x[0,W) after every nonlinearity, so the fused
+body is exact for any frame size. Row-wrap contamination (pixel (i,0)
+reading (i-1, ww-1)) only touches the window edge ring, which the halo
+absorbs.
 
 Eval path only (the joint trainer's patch-sized body stays on the
 differentiable XLA path); numerics match the XLA bf16 body to bf16
-rounding, with f32 conv accumulation in both.
+rounding, f32 accumulation in both. ops/s2d.py is the pure-XLA fast path
+built from the same measurements.
 """
 
 from __future__ import annotations
@@ -35,26 +46,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_HALO = 8   # >= 5 (five 3x3 convs deep per dense block); 8 keeps the DMA
-            # window width tw+2*_HALO aligned to the HBM (8,128) tiling
+_HALO = 8   # >= 5 (five 3x3 convs deep per dense block); 8 keeps DMA
+            # windows aligned to the HBM (8,128) tiling
 _F = 64     # num_feat
 _G = 32     # num_grow_ch / SFT hidden width
+_COUT = (_G, _G, _G, _G, _F)
+_NW = tuple(sum(_COUT) - _G * s for s in range(5))  # wide N per source
 
 
 def _lrelu(x):
     return jnp.where(x >= 0, x, 0.2 * x)
 
 
-def _rdb_kernel(xw_ref, cond_ref, k1_ref, k2_ref, k3_ref, k4_ref, k5_ref,
-                bias_ref, sftm_ref, sftb_ref, out_ref,
-                xwin_sc, cond_sc, srcs_sc, sem,
+def _off(ww: int) -> int:
+    return ((ww + 1 + 15) // 16) * 16   # first 16-aligned row >= ww+1
+
+
+def _rdb_kernel(xw_ref, cond_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
+                k4_ref, bias_ref, sftm_ref, sftb_ref, out_ref,
+                xwin_sc, cond_sc, b0_sc, b1_sc, sem,
                 *, th: int, tw: int, H: int, W: int, ny: int, nx: int,
-                ablate: str = ""):
+                Hq: int, Wq: int, tail: bool, ablate: str = ""):
     """One program per (ty, tx) tile. See module docstring."""
     m = _HALO
     wh, ww = th + 2 * m, tw + 2 * m
     P = wh * ww
-    OFF = ww + 1
+    OFF = _off(ww)
     f32 = jnp.float32
     bf16 = jnp.bfloat16
 
@@ -63,9 +80,14 @@ def _rdb_kernel(xw_ref, cond_ref, k1_ref, k2_ref, k3_ref, k4_ref, k5_ref,
     t = ty * nx + tx
     nT = ny * nx
 
+    def win_origin(tt):
+        # starts stay 8-aligned: th/tw and the clamp bounds are multiples of 8
+        r0 = jnp.clip((tt // nx) * th - m, 0, Hq - wh)
+        c0 = jnp.clip((tt % nx) * tw - m, 0, Wq - ww)
+        return r0, c0
+
     def start_dma(slot, tt):
-        r0 = (tt // nx) * th
-        c0 = (tt % nx) * tw
+        r0, c0 = win_origin(tt)
         pltpu.make_async_copy(
             xw_ref.at[pl.ds(r0, wh), pl.ds(c0, ww), :],
             xwin_sc.at[slot], sem.at[slot, 0]).start()
@@ -77,9 +99,9 @@ def _rdb_kernel(xw_ref, cond_ref, k1_ref, k2_ref, k3_ref, k4_ref, k5_ref,
 
     @pl.when(t == 0)
     def _():
-        # zero the whole source buffer once: the pad ring rows are never
-        # written afterwards (center writes stay in [OFF, OFF+P))
-        srcs_sc[...] = jnp.zeros_like(srcs_sc)
+        # zero the shift buffers once: ring rows are never written afterwards
+        b0_sc[...] = jnp.zeros_like(b0_sc)
+        b1_sc[...] = jnp.zeros_like(b1_sc)
         start_dma(0, 0)
 
     @pl.when(t + 1 < nT)
@@ -91,20 +113,18 @@ def _rdb_kernel(xw_ref, cond_ref, k1_ref, k2_ref, k3_ref, k4_ref, k5_ref,
     pltpu.make_async_copy(cond_sc.at[slot], cond_sc.at[slot],
                           sem.at[slot, 1]).wait()
 
-    # in-frame mask in padded-array coords: window local (i,j) sits at
-    # padded row ty*th + i; true frame pixels occupy [m, m+H) x [m, m+W).
-    # Built directly in flat [P,1] space -- Mosaic can't shape-cast a
-    # [wh,ww] vector to [P,1] (the lane dim changes).
+    r0, c0 = win_origin(t)
+    dy0 = ty * th - r0   # core offset inside the window (0..2m at edges)
+    dx0 = tx * tw - c0
+
+    # in-frame mask, flat [P,1]: global pixel (r0+i, c0+j) inside [0,H)x[0,W)
     idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    iy = idx // ww + ty * th
-    ix = idx % ww + tx * tw
-    inb = (iy >= m) & (iy < m + H) & (ix >= m) & (ix < m + W)
-    maskf = inb.astype(f32)
+    iy = idx // ww + r0
+    ix = idx % ww + c0
+    maskf = ((iy < H) & (ix < W)).astype(f32)
     if "nomask" in ablate:
         maskf = jnp.float32(1.0)
 
-    # windows are DMA'd at 128 channels (HBM manual-DMA slices must align
-    # to the (8,128) tiling); the live channels are a lane slice
     xw = xwin_sc[slot].reshape(P, 128)[:, :_F]      # bf16
     cond = cond_sc[slot].reshape(P, 128)[:, :_G]    # bf16
     xwf = xw.astype(f32)
@@ -114,8 +134,8 @@ def _rdb_kernel(xw_ref, cond_ref, k1_ref, k2_ref, k3_ref, k4_ref, k5_ref,
                                    preferred_element_type=f32)
 
     def sft_pair(base):
-        """scale/shift [P, 64] f32 from cond; weight rows ``base..base+3``
-        are (scale0, scale1, shift0, shift1), zero-padded to [32, 64]."""
+        """scale/shift [P,64] f32; weight rows base..base+3 are
+        (scale0, scale1, shift0, shift1) zero-padded to [32,64]."""
         h = _lrelu(mm(cond, sftm_ref[base + 0])
                    + sftb_ref[base + 0].reshape(1, -1))
         scale = mm(h[:, :_G].astype(bf16), sftm_ref[base + 1]) \
@@ -126,112 +146,155 @@ def _rdb_kernel(xw_ref, cond_ref, k1_ref, k2_ref, k3_ref, k4_ref, k5_ref,
             + sftb_ref[base + 3].reshape(1, -1)
         return scale, shift
 
-    # xc0 = sft0(x): masked so conv sources are exactly zero outside frame
+    def store_shifts(buf, y16, c):
+        """Store a [P, c] source three times, dx-shifted: lane block d
+        holds src[row - OFF + (d-1)]."""
+        for d in range(3):
+            buf[pl.ds(OFF - (d - 1), P), d * c:(d + 1) * c] = y16
+
+    # xc0 = sft0(x), masked so conv sources are exactly zero outside frame
     if "nosft" in ablate:
         xc0 = xwf * maskf
     else:
         scale, shift = sft_pair(0)
         xc0 = (xwf * (scale + 1.0) + shift) * maskf
-    srcs_sc[pl.ds(OFF, P), 0:_F] = xc0.astype(bf16)
+    store_shifts(b0_sc, xc0.astype(bf16), _F)
 
-    taps = [(dy - 1) * ww + (dx - 1) for dy in range(3) for dx in range(3)]
-    if "aligntaps" in ablate:   # perf ablation: wrong numerics, aligned reads
-        taps = [(i - 4) * 16 for i in range(9)]
-    if "onetap" in ablate:
-        taps = [0]
-    kr = (k1_ref, k2_ref, k3_ref, k4_ref, k5_ref)
-    for tgt in range(5):
-        cin = _F + _G * tgt
-        cout = _F if tgt == 4 else _G
-        acc = None
-        for ti, off in enumerate(taps):
-            a = srcs_sc[pl.ds(OFF + off, P), 0:cin]
-            d = mm(a, kr[tgt][ti])
-            acc = d if acc is None else acc + d
-        acc = acc + bias_ref[tgt, 0:cout].reshape(1, cout)
-        if tgt == 4:
-            out = acc * 0.2 + xwf
-            out3 = out.reshape(wh, ww, _F)[m:m + th, m:m + tw, :]
-            out_ref[...] = out3.astype(out_ref.dtype)
-        else:
-            y = (_lrelu(acc) * maskf).astype(bf16)
-            if tgt == 3 and "nosft" not in ablate:
+    kr = (k0_ref, k1_ref, k2_ref, k3_ref, k4_ref)
+    # grouped-source walk: source s contributes one wide matmul per dy to
+    # every remaining target; acc[t] collects its slice
+    acc = [None] * 5
+    for s in range(5):
+        buf = b0_sc if s == 0 else b1_sc
+        c3 = 3 * (_F if s == 0 else _G)
+        for dyi in range(3):
+            row = OFF + (dyi - 1) * ww
+            op = buf[pl.ds(row, P), 0:c3]
+            wide = mm(op, kr[s][dyi])          # [P, _NW[s]] f32
+            o = 0
+            for tgt in range(s, 5):
+                cw = _COUT[tgt]
+                sl = wide[:, o:o + cw]
+                acc[tgt] = sl if acc[tgt] is None else acc[tgt] + sl
+                o += cw
+        # target s is complete: finalize and emit the next source
+        y = acc[s] + bias_ref[s, 0:_COUT[s]].reshape(1, -1)
+        if s < 4:
+            y = (_lrelu(y) * maskf).astype(bf16)
+            if s == 3 and "nosft" not in ablate:
                 s1, s2 = sft_pair(4)
                 y = ((y.astype(f32) * (s1[:, :_G] + 1.0) + s2[:, :_G])
                      * maskf).astype(bf16)
-            srcs_sc[pl.ds(OFF, P), cin:cin + _G] = y
+            store_shifts(b1_sc, y, _G)
+        else:
+            out = y * 0.2 + xwf                # dense-block residual
+            if tail and "nosft" not in ablate:
+                # fused RRDB tail: out = sft(out)*0.2 (+ x_rrdb below)
+                sc1, sh1 = sft_pair(8)
+                out = (out * (sc1 + 1.0) + sh1) * 0.2
+            # core extraction at a dynamic (edge-tile) offset: Mosaic has
+            # no dynamic_slice on VALUES, but dynamic REF reads are fine --
+            # bounce through the consumed input window scratch
+            out3 = out.astype(bf16).reshape(wh, ww, _F)
+            xwin_sc[slot] = jnp.pad(out3, ((0, 0), (0, 0), (0, 128 - _F)))
+            core = xwin_sc[slot, pl.ds(dy0, th), pl.ds(dx0, tw), :]
+            if tail:
+                core = core + jnp.pad(xin_ref[..., :_F],
+                                      ((0, 0), (0, 0), (0, 128 - _F)))
+            out_ref[...] = core
 
 
-def pack_rdb_weights(rdb_params):
-    """(k1..k5 as [9,cin,cout] bf16, bias [5,64] f32, sft mats [8,32,64]
-    bf16 zero-padded, sft biases [8,64] f32) from a ResidualDenseBlockSFT
-    param subtree."""
-    ks = []
+def pack_rdb_weights(rdb_params, rrdb_sft=None):
+    """Pack one dense block's weights for the fused kernel.
+
+    Returns (k0..k4 as [3, 3*c_s, NW_s] bf16 -- dx folded into K, targets
+    >= s concatenated on N --, bias [5,64] f32, sft mats [12,32,64] bf16
+    zero-padded, sft biases [12,64] f32). Rows 8..11 of the SFT pack hold
+    the RRDB-level trailing SFT when ``rrdb_sft`` is given.
+    """
+    cum = [0, _F, _F + _G, _F + 2 * _G, _F + 3 * _G]
+    ks = [jnp.asarray(rdb_params[f"conv{i + 1}"]["kernel"]) for i in range(5)]
+    packed_k = []
+    for s in range(5):
+        c = _F if s == 0 else _G
+        blocks = []
+        for d in range(3):  # dx block
+            blocks.append(jnp.concatenate(
+                [ks[t][:, d, cum[s]:cum[s] + c, :] for t in range(s, 5)],
+                axis=-1))                        # [3(dy), c, NW_s]
+        kd = jnp.concatenate(blocks, axis=1)     # [3, 3c, NW_s]
+        packed_k.append(kd.astype(jnp.bfloat16))
     bias = jnp.zeros((5, 64), jnp.float32)
     for i in range(5):
-        k = rdb_params[f"conv{i + 1}"]["kernel"]
-        ks.append(jnp.asarray(k).reshape(9, k.shape[2], k.shape[3])
-                  .astype(jnp.bfloat16))
         b = rdb_params[f"conv{i + 1}"]["bias"]
         bias = bias.at[i, : b.shape[0]].set(jnp.asarray(b, jnp.float32))
-    sftm = jnp.zeros((8, 32, 64), jnp.bfloat16)
-    sftb = jnp.zeros((8, 64), jnp.float32)
-    for si, sname in enumerate(("sft0", "sft1")):
-        sp = rdb_params[sname]
+    sftm = jnp.zeros((12, 32, 64), jnp.bfloat16)
+    sftb = jnp.zeros((12, 64), jnp.float32)
+    packs = [rdb_params["sft0"], rdb_params["sft1"]]
+    if rrdb_sft is not None:
+        packs.append(rrdb_sft)
+    for si, sp in enumerate(packs):
         for wi, wname in enumerate(("scale0", "scale1", "shift0", "shift1")):
-            k = jnp.asarray(sp[wname]["kernel"])[0, 0]  # 1x1 conv -> [ci,co]
+            k = jnp.asarray(sp[wname]["kernel"])[0, 0]
             b = jnp.asarray(sp[wname]["bias"], jnp.float32)
             sftm = sftm.at[4 * si + wi, : k.shape[0], : k.shape[1]].set(
                 k.astype(jnp.bfloat16))
             sftb = sftb.at[4 * si + wi, : b.shape[0]].set(b)
-    return ks, bias, sftm, sftb
+    return tuple(packed_k), bias, sftm, sftb
 
 
-def rdb_apply_pallas(body, condp, packed, *, H: int, W: int, th: int,
-                     tw: int, interpret: bool = False, ablate: str = ""):
+def rdb_apply_pallas(body, cond128, packed, *, H: int, W: int, th: int,
+                     tw: int, xin=None, interpret: bool = False,
+                     ablate: str = ""):
     """Apply one fused dense block.
 
-    body: [Hq, Wq, 64] bf16 core layout (Hq = ny*th >= H);
-    condp: [Hq+2m, Wq+2m, 128] bf16, channels zero-padded to the 128-lane
-    HBM tiling (built once per frame);
-    packed: output of :func:`pack_rdb_weights`.
+    body: [Hq, Wq, 128] bf16 (channels 64..128 zero -- the 128-lane HBM
+    tiling is kept between kernel calls so no per-call channel pad is
+    needed); cond128: [Hq, Wq, 128] bf16 (32 live channels);
+    xin: [Hq, Wq, 128] RRDB residual input -- when given this call is the
+    RRDB's third block and the trailing SFT + residual are fused in.
+    Requires th % 8 == 0, tw % 16 == 0, Hq >= th+2m, Wq >= tw+2m.
     """
     m = _HALO
     Hq, Wq, _ = body.shape
     ny, nx = Hq // th, Wq // tw
     wh, ww = th + 2 * m, tw + 2 * m
+    if th % 8 or tw % 16 or Hq < wh or Wq < ww:
+        raise ValueError(f"bad tiling th={th} tw={tw} Hq={Hq} Wq={Wq}")
     P = wh * ww
-    PB = P + 2 * (ww + 1)
-    PB += (-PB) % 16
+    PB = _off(ww) + P + ww + 16
     ks, bias, sftm, sftb = packed
+    tail = xin is not None
 
-    # spatial halo + channel pad to the 128-lane HBM tiling in ONE pass
-    xw = jnp.pad(body, ((m, m), (m, m), (0, 128 - _F)))
     kernel = functools.partial(_rdb_kernel, th=th, tw=tw, H=H, W=W,
-                               ny=ny, nx=nx, ablate=ablate)
+                               ny=ny, nx=nx, Hq=Hq, Wq=Wq, tail=tail,
+                               ablate=ablate)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((th, tw, 128), lambda ty, tx: (ty, tx, 0),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(ny, nx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # x (manual halo DMA)
             pl.BlockSpec(memory_space=pltpu.HBM),   # cond
-            vspec, vspec, vspec, vspec, vspec,      # k1..k5
+            tile_spec,                              # xin (core tiles)
+            vspec, vspec, vspec, vspec, vspec,      # k0..k4
             vspec, vspec, vspec,                    # bias, sftm, sftb
         ],
-        out_specs=pl.BlockSpec((th, tw, _F), lambda ty, tx: (ty, tx, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hq, Wq, _F), jnp.bfloat16),
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((Hq, Wq, 128), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((2, wh, ww, 128), jnp.bfloat16),
             pltpu.VMEM((2, wh, ww, 128), jnp.bfloat16),
-            pltpu.VMEM((PB, _F + 4 * _G), jnp.bfloat16),
+            pltpu.VMEM((PB, 3 * _F), jnp.bfloat16),
+            pltpu.VMEM((PB, 3 * _G), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xw, condp, *ks, bias, sftm, sftb)
+    )(body, cond128, xin if tail else body, *ks, bias, sftm, sftb)
 
 
 def _conv(p, a, bf16=jnp.bfloat16):
@@ -242,30 +305,21 @@ def _conv(p, a, bf16=jnp.bfloat16):
         + jnp.asarray(p["bias"], bf16)
 
 
-def _sft_xla(sp, x3, cond3):
-    """SFTLayer on [H,W,C] values (1x1 convs as channel matmuls, bf16)."""
-    def m1(pp, a):
-        return (a @ jnp.asarray(pp["kernel"], jnp.bfloat16)[0, 0]
-                + jnp.asarray(pp["bias"], jnp.bfloat16))
-    scale = m1(sp["scale1"], _lrelu(m1(sp["scale0"], cond3)))
-    shift = m1(sp["shift1"], _lrelu(m1(sp["shift0"], cond3)))
-    return x3 * (scale + 1.0) + shift
-
-
 def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
                         num_block: int = 5, th: int = 48, tw: int = 128,
                         interpret: bool = False):
     """Full SFTNet eval forward with the fused Pallas body.
 
     Mirrors ``SFTNet.__call__`` (models/sr_esrnet.py) / the reference graph
-    (lib/sr_esrnet.py:446-465): conv_first -> CondNet -> num_block x
-    RRDB_SFT -> sftbody/conv_body residual -> x4 upsample chain. Head/tail
-    convs run as XLA bf16 convs; the 15 dense blocks run fused.
+    (lib/sr_esrnet.py:446-465). Head convs and the x4 upsample tail run as
+    XLA bf16 ops (the tail via the phase-decomposed upsample convs of
+    ops/s2d.py); the 15 dense blocks run fused, with each RRDB's trailing
+    SFT + residual folded into its third block's kernel call.
 
-    x: [1, H, W, Cin] (any float dtype); cond: [1, H, W, num_cond].
-    Returns f32 [1, scale*H, scale*W, 3].
+    x: [1, H, W, Cin]; cond: [1, H, W, num_cond]. Returns f32.
     """
-    m = _HALO
+    from fourk_nerf_tpu.ops import s2d as s2d_mod
+
     bf = jnp.bfloat16
     H, W = x.shape[1], x.shape[2]
     x16, c16 = x.astype(bf), cond.astype(bf)
@@ -278,29 +332,48 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
 
     ny, nx = math.ceil(H / th), math.ceil(W / tw)
     Hq, Wq = ny * th, nx * tw
-    body = jnp.pad(feat[0], ((0, Hq - H), (0, Wq - W), (0, 0)))
-    cond_core = jnp.pad(c[0], ((0, Hq - H), (0, Wq - W), (0, 0)))
-    condp = jnp.pad(cond_core, ((m, m), (m, m), (0, 128 - _G)))
+    body = jnp.pad(feat[0], ((0, Hq - H), (0, Wq - W), (0, 128 - _F)))
+    cond128 = jnp.pad(c[0], ((0, Hq - H), (0, Wq - W), (0, 128 - _G)))
 
     for i in range(num_block):
         bp = params[f"body{i}"]
         xin = body
         cur = body
-        for j in (1, 2, 3):
-            cur = rdb_apply_pallas(cur, condp, pack_rdb_weights(bp[f"rdb{j}"]),
+        for j in (1, 2):
+            cur = rdb_apply_pallas(cur, cond128,
+                                   pack_rdb_weights(bp[f"rdb{j}"]),
                                    H=H, W=W, th=th, tw=tw,
                                    interpret=interpret)
-        body = _sft_xla(bp["sft0"], cur, cond_core) * bf(0.2) + xin
+        body = rdb_apply_pallas(
+            cur, cond128, pack_rdb_weights(bp["rdb3"], rrdb_sft=bp["sft0"]),
+            H=H, W=W, th=th, tw=tw, xin=xin, interpret=interpret)
 
-    body = _sft_xla(params["sftbody"], body, cond_core)
-    body = _conv(params["conv_body"], body[:H, :W][None]) + feat
+    body = body[:H, :W, :_F]
+    cond_core = cond128[:H, :W, :_G]
 
-    def up2(a):
-        return jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+    def sft_xla(sp, x3, cond3):
+        def m1(pp, a):
+            return (a @ jnp.asarray(pp["kernel"], bf)[0, 0]
+                    + jnp.asarray(pp["bias"], bf))
+        sc = m1(sp["scale1"], _lrelu(m1(sp["scale0"], cond3)))
+        sh = m1(sp["shift1"], _lrelu(m1(sp["shift0"], cond3)))
+        return x3 * (sc + 1.0) + sh
+
+    body = sft_xla(params["sftbody"], body, cond_core)
+    body = _conv(params["conv_body"], body[None]) + feat
 
     if scale > 1:
-        body = _lrelu(_conv(params["conv_up1"], up2(body)))
+        body = _lrelu(s2d_mod.conv_up_phase(
+            body, jnp.asarray(params["conv_up1"]["kernel"], bf),
+            jnp.asarray(params["conv_up1"]["bias"], bf)))
         if scale == 4:
-            body = _lrelu(_conv(params["conv_up2"], up2(body)))
+            body = _lrelu(s2d_mod.conv_up_phase(
+                body, jnp.asarray(params["conv_up2"]["kernel"], bf),
+                jnp.asarray(params["conv_up2"]["bias"], bf)))
     out = _lrelu(_conv(params["conv_hr"], body))
-    return _conv(params["conv_last"], out).astype(jnp.float32)
+    k = jnp.asarray(params["conv_last"]["kernel"], bf)
+    out = jax.lax.conv_general_dilated(
+        out, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) \
+        + jnp.asarray(params["conv_last"]["bias"], jnp.float32)
+    return out.astype(jnp.float32)

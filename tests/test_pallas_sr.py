@@ -1,8 +1,8 @@
 """Pallas fused SFTNet dense-block kernel vs the XLA body (interpret mode).
 
-The fused kernel must be exact to bf16 rounding for ANY tile split,
-including frames that don't divide the tile size (frame-edge masking
-restores per-layer zero-pad semantics -- see ops/pallas_sr.py docstring).
+The fused kernel must be exact to bf16 rounding for ANY frame size
+(clamped halo windows + frame-edge masking restore per-layer zero-pad
+semantics -- see ops/pallas_sr.py docstring).
 """
 
 import jax
@@ -14,20 +14,10 @@ from fourk_nerf_tpu.models import sr_esrnet
 from fourk_nerf_tpu.ops import pallas_sr
 
 
-def _mk(num_block=1, H=29, W=41, seed=0):
-    rng = np.random.default_rng(seed)
-    model = sr_esrnet.SFTNet(n_in_colors=3, scale=4, num_feat=64,
-                             num_block=num_block, num_grow_ch=32, num_cond=1)
-    x = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
-    cond = jnp.asarray(rng.normal(size=(1, H, W, 1)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), x, cond)["params"]
-    return model, params, x, cond
-
-
 def test_rdb_kernel_matches_module():
-    """Single dense block, uneven frame/tile split."""
+    """Single dense block, frame not dividing the tile grid."""
     rng = np.random.default_rng(1)
-    H, W, th, tw = 21, 30, 12, 16
+    H, W, th, tw = 37, 55, 16, 32  # Hq=48 >= wh=32, Wq=64 >= ww=48
     blk = sr_esrnet.ResidualDenseBlockSFT(64, 32)
     x = jnp.asarray(rng.normal(size=(1, H, W, 64)).astype(np.float32))
     cond = jnp.asarray(rng.normal(size=(1, H, W, 32)).astype(np.float32))
@@ -37,21 +27,52 @@ def test_rdb_kernel_matches_module():
 
     ny, nx = -(-H // th), -(-W // tw)
     Hq, Wq = ny * th, nx * tw
-    body = jnp.pad(x[0].astype(jnp.bfloat16), ((0, Hq - H), (0, Wq - W), (0, 0)))
-    condp = jnp.pad(cond[0].astype(jnp.bfloat16),
-                    ((pallas_sr._HALO, pallas_sr._HALO + Hq - H),
-                     (pallas_sr._HALO, pallas_sr._HALO + Wq - W),
-                     (0, 128 - 32)))
+    body = jnp.pad(x[0].astype(jnp.bfloat16),
+                   ((0, Hq - H), (0, Wq - W), (0, 64)))
+    cond128 = jnp.pad(cond[0].astype(jnp.bfloat16),
+                      ((0, Hq - H), (0, Wq - W), (0, 96)))
     got = pallas_sr.rdb_apply_pallas(
-        body, condp, pallas_sr.pack_rdb_weights(params),
-        H=H, W=W, th=th, tw=tw, interpret=True)[:H, :W]
+        body, cond128, pallas_sr.pack_rdb_weights(params),
+        H=H, W=W, th=th, tw=tw, interpret=True)[:H, :W, :64]
     assert float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                  - ref.astype(jnp.float32)))) < 0.05
 
 
-@pytest.mark.parametrize("H,W,th,tw", [(32, 48, 16, 24), (29, 41, 16, 24)])
-def test_full_net_matches_xla(H, W, th, tw):
-    model, params, x, cond = _mk(num_block=1, H=H, W=W)
+def test_rrdb_tail_fusion_matches_module():
+    """rdb3 call with the RRDB trailing SFT + residual fused in."""
+    rng = np.random.default_rng(3)
+    H, W, th, tw = 32, 64, 16, 32
+    rrdb = sr_esrnet.RRDBSFT(64, 32)
+    x = jnp.asarray(rng.normal(size=(1, H, W, 64)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(1, H, W, 32)).astype(np.float32))
+    params = rrdb.init(jax.random.PRNGKey(0), x, cond)["params"]
+    ref = rrdb.apply({"params": params}, x.astype(jnp.bfloat16),
+                     cond.astype(jnp.bfloat16))[0]
+
+    body = jnp.pad(x[0].astype(jnp.bfloat16), ((0, 0), (0, 0), (0, 64)))
+    cond128 = jnp.pad(cond[0].astype(jnp.bfloat16), ((0, 0), (0, 0), (0, 96)))
+    cur = body
+    for j in (1, 2):
+        cur = pallas_sr.rdb_apply_pallas(
+            cur, cond128, pallas_sr.pack_rdb_weights(params[f"rdb{j}"]),
+            H=H, W=W, th=th, tw=tw, interpret=True)
+    got = pallas_sr.rdb_apply_pallas(
+        cur, cond128,
+        pallas_sr.pack_rdb_weights(params["rdb3"], rrdb_sft=params["sft0"]),
+        H=H, W=W, th=th, tw=tw, xin=body, interpret=True)[:H, :W, :64]
+    # three chained bf16 blocks + SFT: ~0.8% of the +-6.5 output range
+    assert float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                 - ref.astype(jnp.float32)))) < 0.08
+
+
+def test_full_net_matches_xla():
+    H, W, th, tw = 45, 70, 16, 32
+    rng = np.random.default_rng(0)
+    model = sr_esrnet.SFTNet(n_in_colors=3, scale=4, num_feat=64, num_block=1,
+                             num_grow_ch=32, num_cond=1)
+    x = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(1, H, W, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, cond)["params"]
     ref16 = sr_esrnet.apply_bf16(model, params, x, cond)
     got = pallas_sr.sftnet_apply_pallas(params, x, cond, scale=4, num_block=1,
                                         th=th, tw=tw, interpret=True)

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from fourk_nerf_tpu.models import sr_esrnet
-from fourk_nerf_tpu.ops import pallas_sr
+from fourk_nerf_tpu.ops import pallas_sr, s2d
 
 
 def timeit(name, fn, *args, reps=5):
@@ -38,22 +38,23 @@ def main():
     x = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
     cond = jnp.asarray(rng.normal(size=(1, H, W, 1)).astype(np.float32))
 
-    for th, tw in ((48, 128),):
-        f = jax.jit(lambda p, a, c, th=th, tw=tw: pallas_sr.sftnet_apply_pallas(
-            p, a, c, scale=s, num_block=5, th=th, tw=tw))
-        timeit(f"pallas_body th={th} tw={tw}", f, params, x, cond)
+    for th, tw in ((48, 144), (48, 336)):
+        fp = jax.jit(lambda p, a, c, th=th, tw=tw:
+                     pallas_sr.sftnet_apply_pallas(p, a, c, scale=s,
+                                                   num_block=5, th=th, tw=tw))
+        timeit(f"pallas_v2 th={th} tw={tw}", fp, params, x, cond)
 
     @jax.jit
     def full_bf16(p, a, c):
         return sr_esrnet.apply_bf16(model, p, a, c)
     timeit("xla_bf16", full_bf16, params, x, cond)
 
-    # correctness spot check on device (small frame to keep the pull cheap)
+    # on-device correctness spot check of the s2d fast path
     xs, cs = x[:, :96, :96], cond[:, :96, :96]
     ref = sr_esrnet.apply_bf16(model, params, xs, cs)
     got = pallas_sr.sftnet_apply_pallas(params, xs, cs, scale=s, num_block=5,
                                         th=48, tw=96)
-    print("max|pallas-xla_bf16| (96x96):",
+    print("max|pallasv2-xla_bf16| (96x96):",
           float(jnp.max(jnp.abs(got - ref))), flush=True)
 
 
