@@ -62,9 +62,9 @@ def _off(ww: int) -> int:
     return ((ww + 1 + 15) // 16) * 16   # first 16-aligned row >= ww+1
 
 
-def _rdb_kernel(xw_ref, cond_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
+def _rdb_kernel(xw_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
                 k4_ref, bias_ref, sftm_ref, sftb_ref, out_ref,
-                xwin_sc, cond_sc, b0_sc, b1_sc, sem,
+                xwin_sc, b0_sc, b1_sc, sem,
                 *, th: int, tw: int, H: int, W: int, ny: int, nx: int,
                 Hq: int, Wq: int, tail: bool, ablate: str = ""):
     """One program per (ty, tx) tile. See module docstring."""
@@ -82,8 +82,8 @@ def _rdb_kernel(xw_ref, cond_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
 
     def win_origin(tt):
         # starts stay 8-aligned: th/tw and the clamp bounds are multiples of 8
-        r0 = jnp.clip((tt // nx) * th - m, 0, Hq - wh)
-        c0 = jnp.clip((tt % nx) * tw - m, 0, Wq - ww)
+        r0 = pl.multiple_of(jnp.clip((tt // nx) * th - m, 0, Hq - wh), 8)
+        c0 = pl.multiple_of(jnp.clip((tt % nx) * tw - m, 0, Wq - ww), 8)
         return r0, c0
 
     def start_dma(slot, tt):
@@ -91,9 +91,6 @@ def _rdb_kernel(xw_ref, cond_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
         pltpu.make_async_copy(
             xw_ref.at[pl.ds(r0, wh), pl.ds(c0, ww), :],
             xwin_sc.at[slot], sem.at[slot, 0]).start()
-        pltpu.make_async_copy(
-            cond_ref.at[pl.ds(r0, wh), pl.ds(c0, ww), :],
-            cond_sc.at[slot], sem.at[slot, 1]).start()
 
     slot = t % 2
 
@@ -110,12 +107,10 @@ def _rdb_kernel(xw_ref, cond_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
 
     pltpu.make_async_copy(xwin_sc.at[slot], xwin_sc.at[slot],
                           sem.at[slot, 0]).wait()
-    pltpu.make_async_copy(cond_sc.at[slot], cond_sc.at[slot],
-                          sem.at[slot, 1]).wait()
 
     r0, c0 = win_origin(t)
     dy0 = ty * th - r0   # core offset inside the window (0..2m at edges)
-    dx0 = tx * tw - c0
+    dx0 = pl.multiple_of(tx * tw - c0, 8)
 
     # in-frame mask, flat [P,1]: global pixel (r0+i, c0+j) inside [0,H)x[0,W)
     idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
@@ -125,8 +120,12 @@ def _rdb_kernel(xw_ref, cond_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
     if "nomask" in ablate:
         maskf = jnp.float32(1.0)
 
-    xw = xwin_sc[slot].reshape(P, 128)[:, :_F]      # bf16
-    cond = cond_sc[slot].reshape(P, 128)[:, :_G]    # bf16
+    # cond rides the dead channels 64:96 of the body tensor (one DMA
+    # stream instead of two -- the decode is DMA-bound otherwise) and is
+    # copied through to the output so the next block's window has it
+    win = xwin_sc[slot].reshape(P, 128)
+    xw = win[:, :_F]                                # bf16
+    cond = win[:, _F:_F + _G]                       # bf16
     xwf = xw.astype(f32)
 
     def mm(a, b):
@@ -195,8 +194,10 @@ def _rdb_kernel(xw_ref, cond_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
             # core extraction at a dynamic (edge-tile) offset: Mosaic has
             # no dynamic_slice on VALUES, but dynamic REF reads are fine --
             # bounce through the consumed input window scratch
-            out3 = out.astype(bf16).reshape(wh, ww, _F)
-            xwin_sc[slot] = jnp.pad(out3, ((0, 0), (0, 0), (0, 128 - _F)))
+            ozero = jnp.zeros((P, 128 - _F - _G), bf16)
+            full = jnp.concatenate([out.astype(bf16), cond, ozero], axis=1)
+            out3 = full.reshape(wh, ww, 128)
+            xwin_sc[slot] = out3
             core = xwin_sc[slot, pl.ds(dy0, th), pl.ds(dx0, tw), :]
             if tail:
                 core = core + jnp.pad(xin_ref[..., :_F],
@@ -243,14 +244,14 @@ def pack_rdb_weights(rdb_params, rrdb_sft=None):
     return tuple(packed_k), bias, sftm, sftb
 
 
-def rdb_apply_pallas(body, cond128, packed, *, H: int, W: int, th: int,
+def rdb_apply_pallas(body, packed, *, H: int, W: int, th: int,
                      tw: int, xin=None, interpret: bool = False,
                      ablate: str = ""):
     """Apply one fused dense block.
 
-    body: [Hq, Wq, 128] bf16 (channels 64..128 zero -- the 128-lane HBM
-    tiling is kept between kernel calls so no per-call channel pad is
-    needed); cond128: [Hq, Wq, 128] bf16 (32 live channels);
+    body: [Hq, Wq, 128] bf16 carrying the features in channels 0:64 and
+    the SFT condition in 64:96 (the kernel copies the condition through
+    to its output, so the packing survives the whole body);
     xin: [Hq, Wq, 128] RRDB residual input -- when given this call is the
     RRDB's third block and the trailing SFT + residual are fused in.
     Requires th % 8 == 0, tw % 16 == 0, Hq >= th+2m, Wq >= tw+2m.
@@ -276,8 +277,7 @@ def rdb_apply_pallas(body, cond128, packed, *, H: int, W: int, th: int,
         kernel,
         grid=(ny, nx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),   # x (manual halo DMA)
-            pl.BlockSpec(memory_space=pltpu.HBM),   # cond
+            pl.BlockSpec(memory_space=pltpu.HBM),   # x+cond (manual halo DMA)
             tile_spec,                              # xin (core tiles)
             vspec, vspec, vspec, vspec, vspec,      # k0..k4
             vspec, vspec, vspec,                    # bias, sftm, sftb
@@ -286,15 +286,14 @@ def rdb_apply_pallas(body, cond128, packed, *, H: int, W: int, th: int,
         out_shape=jax.ShapeDtypeStruct((Hq, Wq, 128), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((2, wh, ww, 128), jnp.bfloat16),
-            pltpu.VMEM((2, wh, ww, 128), jnp.bfloat16),
             pltpu.VMEM((PB, 3 * _F), jnp.bfloat16),
             pltpu.VMEM((PB, 3 * _G), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(body, cond128, xin if tail else body, *ks, bias, sftm, sftb)
+    )(body, xin if tail else body, *ks, bias, sftm, sftb)
 
 
 def _conv(p, a, bf16=jnp.bfloat16):
@@ -318,8 +317,6 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
 
     x: [1, H, W, Cin]; cond: [1, H, W, num_cond]. Returns f32.
     """
-    from fourk_nerf_tpu.ops import s2d as s2d_mod
-
     bf = jnp.bfloat16
     H, W = x.shape[1], x.shape[2]
     x16, c16 = x.astype(bf), cond.astype(bf)
@@ -332,24 +329,25 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
 
     ny, nx = math.ceil(H / th), math.ceil(W / tw)
     Hq, Wq = ny * th, nx * tw
-    body = jnp.pad(feat[0], ((0, Hq - H), (0, Wq - W), (0, 128 - _F)))
-    cond128 = jnp.pad(c[0], ((0, Hq - H), (0, Wq - W), (0, 128 - _G)))
+    packed_bc = jnp.concatenate(
+        [feat[0], c[0], jnp.zeros((H, W, 128 - _F - _G), bf)], axis=-1)
+    body = jnp.pad(packed_bc, ((0, Hq - H), (0, Wq - W), (0, 0)))
 
     for i in range(num_block):
         bp = params[f"body{i}"]
         xin = body
         cur = body
         for j in (1, 2):
-            cur = rdb_apply_pallas(cur, cond128,
+            cur = rdb_apply_pallas(cur,
                                    pack_rdb_weights(bp[f"rdb{j}"]),
                                    H=H, W=W, th=th, tw=tw,
                                    interpret=interpret)
         body = rdb_apply_pallas(
-            cur, cond128, pack_rdb_weights(bp["rdb3"], rrdb_sft=bp["sft0"]),
+            cur, pack_rdb_weights(bp["rdb3"], rrdb_sft=bp["sft0"]),
             H=H, W=W, th=th, tw=tw, xin=xin, interpret=interpret)
 
+    cond_core = body[:H, :W, _F:_F + _G]
     body = body[:H, :W, :_F]
-    cond_core = cond128[:H, :W, :_G]
 
     def sft_xla(sp, x3, cond3):
         def m1(pp, a):
@@ -362,14 +360,15 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
     body = sft_xla(params["sftbody"], body, cond_core)
     body = _conv(params["conv_body"], body[None]) + feat
 
+    def up2(a):
+        return jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+
     if scale > 1:
-        body = _lrelu(s2d_mod.conv_up_phase(
-            body, jnp.asarray(params["conv_up1"]["kernel"], bf),
-            jnp.asarray(params["conv_up1"]["bias"], bf)))
+        # nearest-up + conv (the phase-decomposed form measured SLOWER on
+        # TPU: XLA doesn't fuse the pixel-shuffle relayouts)
+        body = _lrelu(_conv(params["conv_up1"], up2(body)))
         if scale == 4:
-            body = _lrelu(s2d_mod.conv_up_phase(
-                body, jnp.asarray(params["conv_up2"]["kernel"], bf),
-                jnp.asarray(params["conv_up2"]["bias"], bf)))
+            body = _lrelu(_conv(params["conv_up2"], up2(body)))
     out = _lrelu(_conv(params["conv_hr"], body))
     k = jnp.asarray(params["conv_last"]["kernel"], bf)
     out = jax.lax.conv_general_dilated(

@@ -27,12 +27,11 @@ def test_rdb_kernel_matches_module():
 
     ny, nx = -(-H // th), -(-W // tw)
     Hq, Wq = ny * th, nx * tw
-    body = jnp.pad(x[0].astype(jnp.bfloat16),
-                   ((0, Hq - H), (0, Wq - W), (0, 64)))
-    cond128 = jnp.pad(cond[0].astype(jnp.bfloat16),
-                      ((0, Hq - H), (0, Wq - W), (0, 96)))
+    packed_bc = jnp.concatenate(
+        [x[0], cond[0], jnp.zeros((H, W, 32))], -1).astype(jnp.bfloat16)
+    body = jnp.pad(packed_bc, ((0, Hq - H), (0, Wq - W), (0, 0)))
     got = pallas_sr.rdb_apply_pallas(
-        body, cond128, pallas_sr.pack_rdb_weights(params),
+        body, pallas_sr.pack_rdb_weights(params),
         H=H, W=W, th=th, tw=tw, interpret=True)[:H, :W, :64]
     assert float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                  - ref.astype(jnp.float32)))) < 0.05
@@ -49,15 +48,15 @@ def test_rrdb_tail_fusion_matches_module():
     ref = rrdb.apply({"params": params}, x.astype(jnp.bfloat16),
                      cond.astype(jnp.bfloat16))[0]
 
-    body = jnp.pad(x[0].astype(jnp.bfloat16), ((0, 0), (0, 0), (0, 64)))
-    cond128 = jnp.pad(cond[0].astype(jnp.bfloat16), ((0, 0), (0, 0), (0, 96)))
+    body = jnp.concatenate(
+        [x[0], cond[0], jnp.zeros((H, W, 32))], -1).astype(jnp.bfloat16)
     cur = body
     for j in (1, 2):
         cur = pallas_sr.rdb_apply_pallas(
-            cur, cond128, pallas_sr.pack_rdb_weights(params[f"rdb{j}"]),
+            cur, pallas_sr.pack_rdb_weights(params[f"rdb{j}"]),
             H=H, W=W, th=th, tw=tw, interpret=True)
     got = pallas_sr.rdb_apply_pallas(
-        cur, cond128,
+        cur,
         pallas_sr.pack_rdb_weights(params["rdb3"], rrdb_sft=params["sft0"]),
         H=H, W=W, th=th, tw=tw, xin=body, interpret=True)[:H, :W, :64]
     # three chained bf16 blocks + SFT: ~0.8% of the +-6.5 output range

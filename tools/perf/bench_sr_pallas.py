@@ -38,7 +38,7 @@ def main():
     x = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
     cond = jnp.asarray(rng.normal(size=(1, H, W, 1)).astype(np.float32))
 
-    for th, tw in ((48, 144), (48, 336)):
+    for th, tw in ((48, 128), (96, 128)):
         fp = jax.jit(lambda p, a, c, th=th, tw=tw:
                      pallas_sr.sftnet_apply_pallas(p, a, c, scale=s,
                                                    num_block=5, th=th, tw=tw))
