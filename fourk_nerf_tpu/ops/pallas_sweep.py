@@ -161,7 +161,7 @@ def pack_grids_kernel(cfg, params, buffers, *, use_bf16: bool):
     static_argnames=("H", "W", "tile", "X", "Y", "Z", "vpe", "inverse_y",
                      "flip_x", "flip_y"),
 )
-def _prep_groups(K, c2w, xyz_min, xyz_max, *, H: int, W: int, tile: int,
+def _prep_groups(K, c2w, xyz_min, xyz_max, *, H: int, W: int, tile,
                  X: int, Y: int, Z: int, vpe: int, inverse_y: bool,
                  flip_x: bool, flip_y: bool):
     """Device-side frame prep in ONE dispatch: rays -> affine (a, b) ->
@@ -179,32 +179,38 @@ def _prep_groups(K, c2w, xyz_min, xyz_max, *, H: int, W: int, tile: int,
     sizes = jnp.asarray([X, Y], dtype=jnp.float32)
     a, b = _affine_coeffs(ro, rd, xyz_min, xyz_max, sizes, Z)
 
-    ph, pw = (-H) % tile, (-W) % tile
+    th, tw = (tile, tile) if isinstance(tile, int) else tile
+    ph, pw = (-H) % th, (-W) % tw
     pad2 = lambda x: jnp.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
     a_t, b_t, vd_t = pad2(a), pad2(b), pad2(vd)
     Ht, Wt = H + ph, W + pw
-    nty, ntx = Ht // tile, Wt // tile
+    nty, ntx = Ht // th, Wt // tw
 
     def groups_of(x):
-        # [Ht,Wt,c] -> [ntx groups, nty tiles, tile*tile rays, c]: a group
-        # is a tile COLUMN (fixed pixel-x range), whose tiles share their
-        # grid-x footprint for upright cameras -- the group's x-stripe is
-        # DMA'd once per plane and shared
+        # [Ht,Wt,c] -> [ntx groups, nty tiles, th*tw rays, c]: a group is a
+        # tile COLUMN (fixed pixel-x range), whose tiles share their grid-x
+        # footprint for upright cameras -- the group's x-stripe is DMA'd
+        # once per plane and shared. Tiles may be rectangular: SHORT in
+        # pixel-y (the VPU-bound y-contraction scales with the y footprint)
+        # and wide in pixel-x (keeps rays-per-tile filling the lanes).
         c = x.shape[-1]
-        return (x.reshape(nty, tile, ntx, tile, c).transpose(2, 0, 1, 3, 4)
-                .reshape(ntx, nty, tile * tile, c))
+        return (x.reshape(nty, th, ntx, tw, c).transpose(2, 0, 1, 3, 4)
+                .reshape(ntx, nty, th * tw, c))
 
     a_g, b_g, vd_g = groups_of(a_t), groups_of(b_t), groups_of(vd_t)
     vd_emb_g = ray_ops.positional_encoding(vd_g, vpe)
 
-    spread = jnp.float32(0.0)
+    spread_x = jnp.float32(0.0)
+    spread_y = jnp.float32(0.0)
     span = jnp.float32(0.0)
     for k_ext in (0.0, float(Z - 1)):
         pk = a_g + b_g * k_ext                      # [nG, G, R, 2]
-        spread = jnp.maximum(spread, (pk.max(2) - pk.min(2)).max())
+        d = pk.max(2) - pk.min(2)                   # [nG, G, 2]
+        spread_x = jnp.maximum(spread_x, d[..., 0].max())
+        spread_y = jnp.maximum(spread_y, d[..., 1].max())
         px = pk[..., 0]                             # [nG, G, R]
         span = jnp.maximum(span, (px.max((1, 2)) - px.min((1, 2))).max())
-    return a_g, b_g, vd_emb_g, jnp.stack([spread, span])
+    return a_g, b_g, vd_emb_g, jnp.stack([spread_x, spread_y, span])
 
 
 _prep_cache: dict = {}  # pose-keyed; one tunnel round trip per NEW camera
@@ -217,6 +223,7 @@ def _prep_groups_cached(K, c2w, cfg, *, H, W, tile, inverse_y, flip_x,
     the stats pull -- each scalar pull costs a full tunnel round trip
     (~35 ms measured)."""
     X, Y, Z = cfg.world_size
+    tile = (tile, tile) if isinstance(tile, int) else tuple(tile)
     key = (np.asarray(K).tobytes(), np.asarray(c2w).tobytes(), H, W, tile,
            X, Y, Z, cfg.viewbase_pe, inverse_y, flip_x, flip_y,
            tuple(cfg.xyz_min), tuple(cfg.xyz_max))
@@ -228,22 +235,25 @@ def _prep_groups_cached(K, c2w, cfg, *, H, W, tile, inverse_y, flip_x,
         jnp.asarray(cfg.xyz_min), jnp.asarray(cfg.xyz_max),
         H=H, W=W, tile=tile, X=X, Y=Y, Z=Z, vpe=cfg.viewbase_pe,
         inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
-    stats_np = np.asarray(stats)  # ONE pull for both scalars
-    res = (a_g, b_g, vd_emb_g, float(stats_np[0]), float(stats_np[1]))
+    stats_np = np.asarray(stats)  # ONE pull for all three scalars
+    res = (a_g, b_g, vd_emb_g, float(stats_np[0]), float(stats_np[1]),
+           float(stats_np[2]))
     if len(_prep_cache) > 8:
         _prep_cache.clear()
     _prep_cache[key] = res
     return res
 
 
-def _plan_patch(patch: int, X: int, Y: int, Cp: int):
+def _plan_patch(patch_x: int, patch_y: int, X: int, Y: int, Cp: int):
     """Static DMA patch plan: x rows pxs (8-aligned origin snap needs +8
     slack), y taps pys a multiple of ysnap so both the lane offset
-    (oy*Cp) and the slice width (pys*Cp) are 128-aligned.
+    (oy*Cp) and the slice width (pys*Cp) are 128-aligned. The axes size
+    independently: pys drives the VPU-bound y-contraction, so it tracks
+    the measured per-plane Y footprint, not the (usually larger) X one.
     Returns (pxs, pys, ysnap)."""
-    pxs = min(int(math.ceil((patch + 8) / 8.0) * 8), X)
+    pxs = min(int(math.ceil((patch_x + 8) / 8.0) * 8), X)
     ysnap = 128 // math.gcd(128, Cp)
-    need = patch + ysnap
+    need = patch_y + ysnap
     pys = int(math.ceil(need / ysnap) * ysnap)
     if pys > Y:
         pys = Y  # full-dim slice (Y pre-padded to an ysnap multiple)
@@ -629,26 +639,30 @@ def render_frame_pallas(cfg, params, buffers, H: int, W: int, K, c2w, *,
 
     assert dmpigo.plane_aligned_ok(cfg, stepsize, ndc=True)
     X, Y, Z = cfg.world_size
+    th, tw = (tile, tile) if isinstance(tile, int) else tuple(tile)
 
     # ALL frame prep runs on device in one dispatch; the host pulls exactly
     # TWO scalars (footprint spread + group span). Pulling the [H,W,2]
     # affine maps for a host-side check costs seconds through a tunneled
     # device link (measured ~5 s for 12 MB on axon) and used to dominate
     # the whole frame time.
-    a_g, b_g, vd_emb_g, spread, span = _prep_groups_cached(
+    a_g, b_g, vd_emb_g, spread_x, spread_y, span = _prep_groups_cached(
         K, c2w, cfg, H=H, W=W, tile=tile,
         inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
-    if spread > patch - 3:
-        raise ValueError(f"tile footprint {spread} exceeds patch {patch}")
-    ph, pw = (-H) % tile, (-W) % tile
+    if max(spread_x, spread_y) > patch - 3:
+        raise ValueError(
+            f"tile footprint {max(spread_x, spread_y)} exceeds patch {patch}")
+    # the Y window is auto-sized from the measured per-plane Y footprint
+    patch_y = min(patch, int(math.ceil(spread_y)) + 3)
+    ph, pw = (-H) % th, (-W) % tw
     Ht, Wt = H + ph, W + pw
-    nty, ntx = Ht // tile, Wt // tile
+    nty, ntx = Ht // th, Wt // tw
 
     packed_flat, act_shift, Cp, mask_ch, (Xl, Yl) = pack_grids_kernel(
         cfg, params, buffers, use_bf16=use_bf16)
     Xp = packed_flat.shape[1]
     Yp = packed_flat.shape[2] // Cp
-    pxs, pys, ysnap = _plan_patch(patch, Xp, Yp, Cp)
+    pxs, pys, ysnap = _plan_patch(patch, patch_y, Xp, Yp, Cp)
 
     # group stripe rows: the largest x-span of any group at the k extremes
     # (per-plane group min/max are concave/convex in k, so extremes bound
@@ -675,7 +689,7 @@ def render_frame_pallas(cfg, params, buffers, H: int, W: int, K, c2w, *,
 
     def ungroup(x):
         c = x.shape[-1] if x.ndim == 4 else 1
-        x = x.reshape(ntx, nty, tile, tile, c).transpose(1, 2, 0, 3, 4)
+        x = x.reshape(ntx, nty, th, tw, c).transpose(1, 2, 0, 3, 4)
         return x.reshape(Ht, Wt, c)[:H, :W]
 
     return {

@@ -33,22 +33,17 @@ def main():
     import os
     only = os.environ.get("BP_ONLY", "")
     variants = [
-        ("pallas_ee_bf16", dict(use_bf16=True, early_exit=True)),
-        ("pallas_noee_bf16", dict(use_bf16=True, early_exit=False)),
-        ("pallas_noee_f32", dict(use_bf16=False, early_exit=False)),
-        ("tight40", dict(use_bf16=True, early_exit=False, patch=40)),
-        ("ab_noy", dict(use_bf16=True, early_exit=False, ablate="noy")),
-        ("ab_nomask", dict(use_bf16=True, early_exit=False, ablate="nomask")),
-        ("ab_nomlp", dict(use_bf16=True, early_exit=False, ablate="nomlp")),
-        ("ab_lok", dict(use_bf16=True, early_exit=False, ablate="lok")),
-        ("ab_min", dict(use_bf16=True, early_exit=False,
-                        ablate="lok,noy,nomask,nomlp")),
+        ("ee_t16x128_p64", dict(use_bf16=True, early_exit=True, tile=(16, 128), patch=64)),
+        ("ee_t16x256_p128", dict(use_bf16=True, early_exit=True, tile=(16, 256), patch=128)),
+        ("ee_t32x256_p128", dict(use_bf16=True, early_exit=True, tile=(32, 256), patch=128)),
+        ("ee_t8x128_p64", dict(use_bf16=True, early_exit=True, tile=(8, 128), patch=64)),
     ]
     for name, kw in variants:
         if only and only not in name:
             continue
         kw = dict(kw)
         patch = kw.pop("patch", 48)
+        tile = kw.pop("tile", 32)
         try:
             def sync(o):
                 # 1-element fetch: forces completion of the whole program
@@ -59,7 +54,7 @@ def main():
             t0 = time.perf_counter()
             out = pallas_sweep.render_frame_pallas(
                 cfg, params, buffers, H, W, K, c2w, stepsize=1.0, bg=1.0,
-                tile=32, patch=patch, **kw)
+                tile=tile, patch=patch, **kw)
             sync(out)
             compile_s = time.perf_counter() - t0
             ts = []
@@ -67,7 +62,7 @@ def main():
                 t0 = time.perf_counter()
                 out = pallas_sweep.render_frame_pallas(
                     cfg, params, buffers, H, W, K, c2w, stepsize=1.0, bg=1.0,
-                    tile=32, patch=patch, **kw)
+                    tile=tile, patch=patch, **kw)
                 sync(out)
                 ts.append(time.perf_counter() - t0)
             print(name, {"ms": round(float(np.min(ts)) * 1e3, 1),
