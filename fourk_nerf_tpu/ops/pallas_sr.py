@@ -145,11 +145,21 @@ def _rdb_kernel(xw_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
             + sftb_ref[base + 3].reshape(1, -1)
         return scale, shift
 
+    # dx-shift stores wrap at row boundaries in flat space: position
+    # (i, 0)'s left tap would read (i-1, ww-1). For interior tiles that is
+    # halo-ring garbage (absorbed), but at CLAMPED frame-edge tiles the
+    # window edge IS the frame edge -- zero the wrap slots so edge taps
+    # read exact SAME-pad zeros.
+    col = idx % ww
+    wrapL = (col != ww - 1).astype(bf16)   # d=0 store, row OFF+1+i
+    wrapR = (col != 0).astype(bf16)        # d=2 store, row OFF-1+i
+
     def store_shifts(buf, y16, c):
         """Store a [P, c] source three times, dx-shifted: lane block d
-        holds src[row - OFF + (d-1)]."""
-        for d in range(3):
-            buf[pl.ds(OFF - (d - 1), P), d * c:(d + 1) * c] = y16
+        holds src[row - OFF + (d-1)]; wrap slots zeroed."""
+        buf[pl.ds(OFF + 1, P), 0:c] = y16 * wrapL
+        buf[pl.ds(OFF, P), c:2 * c] = y16
+        buf[pl.ds(OFF - 1, P), 2 * c:3 * c] = y16 * wrapR
 
     # xc0 = sft0(x), masked so conv sources are exactly zero outside frame
     if "nosft" in ablate:
@@ -364,8 +374,9 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
         return jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
 
     if scale > 1:
-        # nearest-up + conv (the phase-decomposed form measured SLOWER on
-        # TPU: XLA doesn't fuse the pixel-shuffle relayouts)
+        # nearest-up + conv: measured FASTER than both the phase-decomposed
+        # XLA form (pixel-shuffle relayouts don't fuse) and the fused
+        # uptail kernel below (per-tile overheads at 4x the tile count)
         body = _lrelu(_conv(params["conv_up1"], up2(body)))
         if scale == 4:
             body = _lrelu(_conv(params["conv_up2"], up2(body)))
@@ -376,3 +387,212 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
         preferred_element_type=jnp.float32) \
         + jnp.asarray(params["conv_last"]["bias"], jnp.float32)
     return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fused x4 upsample tail: conv_up2 (nearest-up2 + 3x3) -> conv_hr -> conv_last
+# ---------------------------------------------------------------------------
+
+def _uptail_kernel(xw_ref, kup_ref, khr_ref, klast_ref, bias_ref, out_ref,
+                   xwin_sc, b64_sc, b256_sc, sem,
+                   *, th: int, tw: int, H2: int, W2: int, ny: int, nx: int,
+                   Hq: int, Wq: int, ablate: str = ""):
+    """One program per (ty, tx) tile of the 2x-resolution feature map.
+
+    Computes lrelu(conv_up2(nearest_up2(x))) -> lrelu(conv_hr) -> conv_last
+    entirely in VMEM, in the PHASE domain: the up2+conv is four 2x2 phase
+    convs on x (ops/s2d.py:up_phase_kernels) and the two 4x-resolution 3x3
+    convs become s2d-domain convs over the 256-channel phase tensor -- so
+    nothing ever materializes at 4x in HBM. Output is the s2d form of the
+    RGB frame ([*, 16], 12 live channels); the caller pixel-shuffles.
+
+    Same conv formulation as :func:`_rdb_kernel` (dx-shift lane-concat
+    buffers, aligned dy row offsets, frame-edge masking).
+    """
+    m = _HALO
+    wh, ww = th + 2 * m, tw + 2 * m
+    P = wh * ww
+    OFF = _off(ww)
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    t = ty * nx + tx
+    nT = ny * nx
+
+    def win_origin(tt):
+        r0 = pl.multiple_of(jnp.clip((tt // nx) * th - m, 0, Hq - wh), 8)
+        c0 = pl.multiple_of(jnp.clip((tt % nx) * tw - m, 0, Wq - ww), 8)
+        return r0, c0
+
+    def start_dma(slot, tt):
+        r0, c0 = win_origin(tt)
+        pltpu.make_async_copy(
+            xw_ref.at[pl.ds(r0, wh), pl.ds(c0, ww), :],
+            xwin_sc.at[slot], sem.at[slot]).start()
+
+    slot = t % 2
+
+    @pl.when(t == 0)
+    def _():
+        b64_sc[...] = jnp.zeros_like(b64_sc)
+        b256_sc[...] = jnp.zeros_like(b256_sc)
+        start_dma(0, 0)
+
+    @pl.when(t + 1 < nT)
+    def _():
+        start_dma(1 - slot, t + 1)
+
+    pltpu.make_async_copy(xwin_sc.at[slot], xwin_sc.at[slot],
+                          sem.at[slot]).wait()
+
+    r0, c0 = win_origin(t)
+    dy0 = ty * th - r0
+    dx0 = pl.multiple_of(tx * tw - c0, 8)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    iy = idx // ww + r0
+    ix = idx % ww + c0
+    maskf = ((iy < H2) & (ix < W2)).astype(f32)
+
+    xw = xwin_sc[slot].reshape(P, 128)[:, :_F]
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    col = idx % ww
+    wrapL = (col != ww - 1).astype(bf16)
+    wrapR = (col != 0).astype(bf16)
+
+    def store_shifts(buf, y16, c):
+        # wrap slots zeroed: see _rdb_kernel (frame-edge exactness)
+        buf[pl.ds(OFF + 1, P), 0:c] = y16 * wrapL
+        buf[pl.ds(OFF, P), c:2 * c] = y16
+        buf[pl.ds(OFF - 1, P), 2 * c:3 * c] = y16 * wrapR
+
+    store_shifts(b64_sc, (xw.astype(f32) * maskf).astype(bf16), _F)
+
+    # phase conv_up2: z[(q), d] over 4 output phases, each two dy taps
+    zs = []
+    for qy in range(2):
+        for qx in range(2):
+            acc = None
+            for dyi in range(2):
+                row = OFF + (dyi - (1 - qy)) * ww
+                op = b64_sc[pl.ds(row, P), 0:3 * _F]
+                d = mm(op, kup_ref[2 * qy + qx, dyi])
+                acc = d if acc is None else acc + d
+            z = _lrelu(acc + bias_ref[0, 0:_F].reshape(1, -1)) * maskf
+            zs.append(z.astype(bf16))
+    z = jnp.concatenate(zs, axis=1)            # [P, 256] phase-major
+    if "dumpz" in ablate:
+        xwin_sc[slot] = jnp.pad(z[:, :16], ((0, 0), (0, 112))) \
+            .reshape(wh, ww, 128)
+        out_ref[...] = xwin_sc[slot, pl.ds(dy0, th), pl.ds(dx0, tw), 0:16]
+        return
+    store_shifts(b256_sc, z, 4 * _F)
+
+    # conv_hr in the s2d domain
+    acc = None
+    for dyi in range(3):
+        row = OFF + (dyi - 1) * ww
+        op = b256_sc[pl.ds(row, P), 0:12 * _F]
+        d = mm(op, khr_ref[dyi])
+        acc = d if acc is None else acc + d
+    h = (_lrelu(acc + bias_ref[1].reshape(1, -1)) * maskf).astype(bf16)
+    store_shifts(b256_sc, h, 4 * _F)
+
+    # conv_last in the s2d domain -> [P, 16] (12 live: 4 phases x RGB)
+    acc = None
+    for dyi in range(3):
+        row = OFF + (dyi - 1) * ww
+        op = b256_sc[pl.ds(row, P), 0:12 * _F]
+        d = mm(op, klast_ref[dyi])
+        acc = d if acc is None else acc + d
+    rgb = acc + bias_ref[2, 0:16].reshape(1, -1)
+
+    xwin_sc[slot] = jnp.pad(rgb.astype(bf16), ((0, 0), (0, 112))) \
+        .reshape(wh, ww, 128)
+    out_ref[...] = xwin_sc[slot, pl.ds(dy0, th), pl.ds(dx0, tw), 0:16]
+
+
+def pack_uptail_weights(params):
+    """(kup [4,2,192,64], khr [3,768,256], klast [3,768,16] bf16,
+    bias [3,256] f32) from conv_up2/conv_hr/conv_last params."""
+    from fourk_nerf_tpu.ops import s2d as s2d_mod
+
+    bf = jnp.bfloat16
+    kq = s2d_mod.up_phase_kernels(
+        jnp.asarray(params["conv_up2"]["kernel"]))  # [qy,qx,dy',dx',c,d]
+    kup = jnp.zeros((4, 2, 3 * _F, _F))
+    for qy in range(2):
+        for qx in range(2):
+            for dyi in range(2):
+                for d in range(3):
+                    dxp = d - qx
+                    if 0 <= dxp <= 1:
+                        kup = kup.at[2 * qy + qx, dyi,
+                                     d * _F:(d + 1) * _F, :].set(
+                            kq[qy, qx, dyi, dxp])
+
+    def fold(k3):  # [3,3,C,D] -> [3, 3C, D]
+        return jnp.concatenate([k3[:, d] for d in range(3)], axis=1)
+
+    khr = fold(s2d_mod.s2d_kernel(jnp.asarray(params["conv_hr"]["kernel"])))
+    kl = fold(s2d_mod.s2d_kernel(jnp.asarray(params["conv_last"]["kernel"])))
+    kl = jnp.pad(kl, ((0, 0), (0, 0), (0, 16 - kl.shape[-1])))
+    bias = jnp.zeros((3, 256), jnp.float32)
+    bias = bias.at[0, :_F].set(jnp.asarray(params["conv_up2"]["bias"],
+                                           jnp.float32))
+    bias = bias.at[1].set(jnp.tile(jnp.asarray(params["conv_hr"]["bias"],
+                                               jnp.float32), 4))
+    bias = bias.at[2, :12].set(jnp.tile(jnp.asarray(
+        params["conv_last"]["bias"], jnp.float32), 4))
+    return kup.astype(bf), khr.astype(bf), kl.astype(bf), bias
+
+
+def uptail_apply_pallas(up1_out, packed, *, th: int = 32, tw: int = 128,
+                        interpret: bool = False, ablate: str = ""):
+    """[1, H2, W2, 64] (post-lrelu conv_up1 output) -> [1, 2*H2, 2*W2, 3]
+    f32, fusing conv_up2 + conv_hr + conv_last without any 4x-resolution
+    HBM tensor."""
+    from fourk_nerf_tpu.ops import s2d as s2d_mod
+
+    m = _HALO
+    H2, W2 = up1_out.shape[1], up1_out.shape[2]
+    ny, nx = math.ceil(H2 / th), math.ceil(W2 / tw)
+    Hq, Wq = ny * th, nx * tw
+    wh, ww = th + 2 * m, tw + 2 * m
+    if th % 8 or tw % 16 or Hq < wh or Wq < ww:
+        raise ValueError(f"bad tiling th={th} tw={tw} Hq={Hq} Wq={Wq}")
+    P = wh * ww
+    PB = _off(ww) + P + ww + 16
+    kup, khr, kl, bias = packed
+
+    x = jnp.pad(up1_out[0].astype(jnp.bfloat16),
+                ((0, Hq - H2), (0, Wq - W2), (0, 128 - _F)))
+    kernel = functools.partial(_uptail_kernel, th=th, tw=tw, H2=H2, W2=W2,
+                               ny=ny, nx=nx, Hq=Hq, Wq=Wq, ablate=ablate)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  vspec, vspec, vspec, vspec],
+        out_specs=pl.BlockSpec((th, tw, 16), lambda ty, tx: (ty, tx, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hq, Wq, 16), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, wh, ww, 128), jnp.bfloat16),
+            pltpu.VMEM((PB, 3 * _F), jnp.bfloat16),
+            pltpu.VMEM((PB, 12 * _F), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(x, kup, khr, kl, bias)
+    rgb = s2d_mod.d2s(out[None, :, :, :12].astype(jnp.float32))
+    return rgb[:, : 2 * H2, : 2 * W2]

@@ -100,8 +100,13 @@ def maybe_initialize_distributed(enable: bool = False, **kwargs) -> bool:
                           or os.environ.get("COORDINATOR_ADDRESS"))
     if not want:
         return False
-    if jax.process_count() > 1:  # already initialized
-        return True
+    # NOTE: must not call jax.process_count()/jax.devices() here -- that
+    # initializes the backend and makes a later distributed.initialize
+    # impossible. Query the distributed client state directly.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True  # already initialized
     try:
         jax.distributed.initialize(**kwargs)
         print(f"jax.distributed initialized: process {jax.process_index()}"

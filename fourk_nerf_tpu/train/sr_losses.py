@@ -88,7 +88,14 @@ def import_vgg19_torch(path: str) -> dict:
     Flax param tree."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # safe unpickler first: a downloaded .pth is an arbitrary-code vector
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        print(f"import_vgg19_torch: weights_only load failed; falling back "
+              f"to full unpickling for {path} -- only do this for files you "
+              f"trust")
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     conv_names = [item[0] for item in _VGG19_PLAN if isinstance(item, tuple)]

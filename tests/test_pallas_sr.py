@@ -80,3 +80,31 @@ def test_full_net_matches_xla():
 
     ref = model.apply({"params": params}, x, cond)  # f32 reference
     assert float(jnp.max(jnp.abs(got - ref))) < 0.08
+
+
+def test_uptail_fusion_matches_xla():
+    """Fused conv_up2+conv_hr+conv_last (phase domain) vs the XLA chain,
+    odd frame dims + clamped edge tiles."""
+    rng = np.random.default_rng(7)
+    H2, W2 = 45, 70
+    model = sr_esrnet.SFTNet(n_in_colors=3, scale=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                       jnp.zeros((1, 16, 16, 1)))["params"]
+    x = jnp.asarray(rng.normal(size=(1, H2, W2, 64)).astype(np.float32))
+
+    def up2(a):
+        return jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+
+    bf = jnp.bfloat16
+    b = pallas_sr._lrelu(pallas_sr._conv(params["conv_up2"], up2(x.astype(bf))))
+    out = pallas_sr._lrelu(pallas_sr._conv(params["conv_hr"], b))
+    k = jnp.asarray(params["conv_last"]["kernel"], bf)
+    ref = jax.lax.conv_general_dilated(
+        out, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) \
+        + jnp.asarray(params["conv_last"]["bias"], jnp.float32)
+    got = pallas_sr.uptail_apply_pallas(
+        x, pallas_sr.pack_uptail_weights(params), th=16, tw=32,
+        interpret=True)
+    assert got.shape == (1, 2 * H2, 2 * W2, 3)
+    assert float(jnp.max(jnp.abs(got - ref.astype(jnp.float32)))) < 0.03
