@@ -626,9 +626,9 @@ def sweep_tiles_pallas(packed_flat, act_shift, a_tiles, b_tiles,
 
 
 def render_frame_pallas(cfg, params, buffers, H: int, W: int, K, c2w, *,
-                        stepsize: float, bg: float, tile: int = 32,
-                        patch: int = 32, inverse_y=False, flip_x=False,
-                        flip_y=False, use_bf16: bool = True,
+                        stepsize: float, bg: float, tile=(32, 128),
+                        patch: int | None = None, inverse_y=False,
+                        flip_x=False, flip_y=False, use_bf16: bool = True,
                         early_exit: bool = True, interpret: bool = False,
                         ablate: str = ""):
     """Full-frame render through the fused Pallas kernel. Same contract as
@@ -649,6 +649,12 @@ def render_frame_pallas(cfg, params, buffers, H: int, W: int, K, c2w, *,
     a_g, b_g, vd_emb_g, spread_x, spread_y, span = _prep_groups_cached(
         K, c2w, cfg, H=H, W=W, tile=tile,
         inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
+    if patch is None:
+        # auto-size both windows from the measured footprint; refuse only
+        # when the window would blow the VMEM budget
+        patch = int(math.ceil(max(spread_x, spread_y))) + 3
+        if patch > 256:
+            raise ValueError(f"tile footprint {patch - 3} too large")
     if max(spread_x, spread_y) > patch - 3:
         raise ValueError(
             f"tile footprint {max(spread_x, spread_y)} exceeds patch {patch}")

@@ -276,6 +276,23 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
     def sweep_frame(H, W, K_i, c2w):
         from fourk_nerf_tpu.ops import pallas_sweep, plane_sweep
 
+        if gt_imgs is None:
+            # metric-free rendering (videos, previews): the fused Pallas
+            # sweep-tile kernel with per-tile early plane termination.
+            # Rectangular tiles (short pixel-y, wide pixel-x): the kernel's
+            # VPU-bound y-contraction scales with the per-plane y window,
+            # which auto-sizes from the measured footprint (patch=None).
+            try:
+                return pallas_sweep.render_frame_pallas(
+                    model_cfg, params, buffers, H, W, K_i, c2w,
+                    stepsize=rk["stepsize"], bg=rk["bg"], tile=(32, 128),
+                    patch=None,
+                    inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+                    flip_y=cfg.data.flip_y, use_bf16=True,
+                )
+            except Exception as e:  # fall back to the XLA sweep
+                print(f"pallas sweep unavailable ({type(e).__name__}: {e}); "
+                      "using XLA sweep")
         tp = plane_sweep.auto_tile_patch(
             model_cfg, H, W, K_i, c2w,
             inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
@@ -283,19 +300,6 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
         if tp is None:
             raise ValueError("no (tile, patch) fits this camera's footprint")
         tile, patch = tp
-        if gt_imgs is None:
-            # metric-free rendering (videos, previews): the fused Pallas
-            # sweep-tile kernel with per-tile early plane termination
-            try:
-                return pallas_sweep.render_frame_pallas(
-                    model_cfg, params, buffers, H, W, K_i, c2w,
-                    stepsize=rk["stepsize"], bg=rk["bg"], tile=tile, patch=patch,
-                    inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
-                    flip_y=cfg.data.flip_y, use_bf16=True,
-                )
-            except Exception as e:  # fall back to the XLA sweep
-                print(f"pallas sweep unavailable ({type(e).__name__}: {e}); "
-                      "using XLA sweep")
         # published metrics (gt present) are computed with the f32 sweep --
         # bf16 is a speed knob for metric-free rendering only
         return plane_sweep.render_frame(

@@ -54,7 +54,25 @@ def main():
         return b
 
     timeit("body15", jax.jit(lambda b: body15(b)), body0)
-    timeit("body2", jax.jit(lambda b: body15(b)[:2, :2, :2]), body0)
+    for th2, tw2 in ((96, 128), (48, 256), (96, 256)):
+        ny2, nx2 = -(-H // th2), -(-W // tw2)
+        b2 = jnp.asarray(rng.normal(size=(ny2 * th2, nx2 * tw2, 128))
+                         .astype(np.float32), jnp.bfloat16)
+
+        def bodyv(b, th2=th2, tw2=tw2):
+            for i in range(5):
+                bp = params[f"body{i}"]
+                xin = b
+                for j in (1, 2):
+                    b = pallas_sr.rdb_apply_pallas(
+                        b, pallas_sr.pack_rdb_weights(bp[f"rdb{j}"]),
+                        H=H, W=W, th=th2, tw=tw2)
+                b = pallas_sr.rdb_apply_pallas(
+                    b, pallas_sr.pack_rdb_weights(bp["rdb3"],
+                                                  rrdb_sft=bp["sft0"]),
+                    H=H, W=W, th=th2, tw=tw2, xin=xin)
+            return b
+        timeit(f"body15_t{th2}x{tw2}", jax.jit(bodyv), b2)
     timeit("full_pallas", jax.jit(lambda p, a, c: pallas_sr.sftnet_apply_pallas(
         p, a, c, scale=4, num_block=5, th=th, tw=tw)), params,
         jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 1)))
