@@ -273,10 +273,12 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
     # NDC plane-alignment conditions hold -- ~15x faster than chunked gathers
     use_sweep = bool(rk.get("ndc_planes")) and model_mod is dmpigo and "rgbnet" in params
 
+    pallas_ok = [True]  # sticky: stop retrying after the first failure
+
     def sweep_frame(H, W, K_i, c2w):
         from fourk_nerf_tpu.ops import pallas_sweep, plane_sweep
 
-        if gt_imgs is None:
+        if gt_imgs is None and pallas_ok[0]:
             # metric-free rendering (videos, previews): the fused Pallas
             # sweep-tile kernel with per-tile early plane termination.
             # Rectangular tiles (short pixel-y, wide pixel-x): the kernel's
@@ -291,6 +293,7 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
                     flip_y=cfg.data.flip_y, use_bf16=True,
                 )
             except Exception as e:  # fall back to the XLA sweep
+                pallas_ok[0] = False
                 print(f"pallas sweep unavailable ({type(e).__name__}: {e}); "
                       "using XLA sweep")
         tp = plane_sweep.auto_tile_patch(

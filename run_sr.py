@@ -166,6 +166,30 @@ def main():
             render_video_rot90=args.render_video_rot90,
         )
         apply_fn = jax.jit(lambda p, x, c: sr_model.apply({"params": p}, x, c))
+
+        # metric-free fly-through: prefer the fused Pallas decode
+        # (ops/pallas_sr.py, bf16; ~1.6x the XLA decode at 4K) when the net
+        # matches its fixed RRDB geometry; metrics paths stay f32
+        use_fast = [int(sr_model.num_feat) == 64
+                    and int(sr_model.num_grow_ch) == 32
+                    and int(sr_model.scale) in (1, 2, 4)]
+
+        def fast_fn(p, x, c):
+            if use_fast[0]:
+                try:
+                    from fourk_nerf_tpu.ops import pallas_sr
+                    return np.asarray(pallas_sr.sftnet_apply_pallas(
+                        p, jnp_asarray(x), jnp_asarray(c),
+                        scale=int(sr_model.scale),
+                        num_block=int(sr_model.num_block)))
+                except Exception as e:
+                    print(f"pallas SR decode unavailable "
+                          f"({type(e).__name__}); XLA decode")
+                    use_fast[0] = False
+            return np.asarray(apply_fn(p, x, c))
+
+        import jax.numpy as jnp_mod
+        jnp_asarray = jnp_mod.asarray
         num_cond = int(cfg.fine_model_and_render.get("num_cond", 1))
         frames = []
         for fi in range(n_frames):
@@ -187,7 +211,7 @@ def main():
                     apply_fn, sr_params, feat, cond, tile_size=args.test_tile, scale=sr_ratio
                 )[0]
             else:
-                sr = np.asarray(apply_fn(sr_params, feat, cond))[0]
+                sr = fast_fn(sr_params, feat, cond)[0]
             sr = np.asarray(sr)
             print(f"sr time is: {time.time() - t0:.3f}s (frame {fi + 1}/{n_frames})")
             frames.append(np.clip(sr, 0, 1))
