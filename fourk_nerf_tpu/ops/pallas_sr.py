@@ -171,7 +171,11 @@ def _rdb_kernel(xw_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
 
     kr = (k0_ref, k1_ref, k2_ref, k3_ref, k4_ref)
     # grouped-source walk: source s contributes one wide matmul per dy to
-    # every remaining target; acc[t] collects its slice
+    # every remaining target; acc[t] collects its slice. "bf16acc" keeps
+    # the partial sums in bf16 (halves the value-chain register/spill
+    # pressure; extra rounding quantified negligible -- see ops/s2d.py's
+    # wide_dtype and tests/test_s2d.py)
+    acc_dt = bf16 if "bf16acc" in ablate else f32
     acc = [None] * 5
     for s in range(5):
         buf = b0_sc if s == 0 else b1_sc
@@ -179,7 +183,9 @@ def _rdb_kernel(xw_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
         for dyi in range(3):
             row = OFF + (dyi - 1) * ww
             op = buf[pl.ds(row, P), 0:c3]
-            wide = mm(op, kr[s][dyi])          # [P, _NW[s]] f32
+            wide = mm(op, kr[s][dyi]).astype(acc_dt)  # [P, _NW[s]]
+            # (Mosaic requires 32-bit matmul acc; the cast shrinks the
+            # live partial-sum chains when bf16acc is requested)
             o = 0
             for tgt in range(s, 5):
                 cw = _COUT[tgt]
@@ -187,7 +193,7 @@ def _rdb_kernel(xw_ref, xin_ref, k0_ref, k1_ref, k2_ref, k3_ref,
                 acc[tgt] = sl if acc[tgt] is None else acc[tgt] + sl
                 o += cw
         # target s is complete: finalize and emit the next source
-        y = acc[s] + bias_ref[s, 0:_COUT[s]].reshape(1, -1)
+        y = acc[s].astype(f32) + bias_ref[s, 0:_COUT[s]].reshape(1, -1)
         if s < 4:
             y = (_lrelu(y) * maskf).astype(bf16)
             if s == 3 and "nosft" not in ablate:

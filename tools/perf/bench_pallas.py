@@ -33,17 +33,19 @@ def main():
     import os
     only = os.environ.get("BP_ONLY", "")
     variants = [
-        ("ee_t16x128_p64", dict(use_bf16=True, early_exit=True, tile=(16, 128), patch=64)),
-        ("ee_t16x256_p128", dict(use_bf16=True, early_exit=True, tile=(16, 256), patch=128)),
-        ("ee_t32x256_p128", dict(use_bf16=True, early_exit=True, tile=(32, 256), patch=128)),
-        ("ee_t8x128_p64", dict(use_bf16=True, early_exit=True, tile=(8, 128), patch=64)),
+        ("base", dict(use_bf16=True, early_exit=True, tile=(32, 128), patch=None)),
+        ("noee", dict(use_bf16=True, early_exit=False, tile=(32, 128), patch=None)),
+        ("noy", dict(use_bf16=True, early_exit=False, tile=(32, 128), patch=None, ablate="noy")),
+        ("nomlp", dict(use_bf16=True, early_exit=False, tile=(32, 128), patch=None, ablate="nomlp")),
+        ("lok", dict(use_bf16=True, early_exit=False, tile=(32, 128), patch=None, ablate="lok")),
+        ("minimal", dict(use_bf16=True, early_exit=False, tile=(32, 128), patch=None, ablate="lok,noy,nomask,nomlp")),
     ]
     for name, kw in variants:
         if only and only not in name:
             continue
         kw = dict(kw)
-        patch = kw.pop("patch", 48)
-        tile = kw.pop("tile", 32)
+        patch = kw.pop("patch", None)
+        tile = kw.pop("tile", (32, 128))
         try:
             def sync(o):
                 # 1-element fetch: forces completion of the whole program

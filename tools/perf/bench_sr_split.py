@@ -54,7 +54,8 @@ def main():
         return b
 
     timeit("body15", jax.jit(lambda b: body15(b)), body0)
-    for th2, tw2 in ((96, 128), (48, 256), (96, 256)):
+    timeit("body15_bf16acc", jax.jit(lambda b: body15(b, "bf16acc")), body0)
+    for th2, tw2 in ():
         ny2, nx2 = -(-H // th2), -(-W // tw2)
         b2 = jnp.asarray(rng.normal(size=(ny2 * th2, nx2 * tw2, 128))
                          .astype(np.float32), jnp.bfloat16)
