@@ -395,6 +395,14 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
     return out.astype(jnp.float32)
 
 
+#: jitted entry for eval drivers: one dispatch for head + 15 fused blocks +
+#: tail (eager per-op dispatch costs a tunnel round trip each on remote TPU)
+sftnet_apply_pallas_jit = jax.jit(
+    sftnet_apply_pallas,
+    static_argnames=("scale", "num_block", "th", "tw", "interpret"))
+
+
+
 # ---------------------------------------------------------------------------
 # Fused x4 upsample tail: conv_up2 (nearest-up2 + 3x3) -> conv_hr -> conv_last
 # ---------------------------------------------------------------------------

@@ -178,7 +178,7 @@ def main():
             if use_fast[0]:
                 try:
                     from fourk_nerf_tpu.ops import pallas_sr
-                    return np.asarray(pallas_sr.sftnet_apply_pallas(
+                    return np.asarray(pallas_sr.sftnet_apply_pallas_jit(
                         p, jnp_asarray(x), jnp_asarray(c),
                         scale=int(sr_model.scale),
                         num_block=int(sr_model.num_block)))
