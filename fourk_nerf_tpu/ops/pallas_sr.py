@@ -289,12 +289,17 @@ def rdb_apply_pallas(body, packed, *, H: int, W: int, th: int,
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((th, tw, 128), lambda ty, tx: (ty, tx, 0),
                              memory_space=pltpu.VMEM)
+    # non-tail calls never read xin: give it a dummy operand so the
+    # pipeline doesn't stream a dead [th,tw,128] block per tile (~2 GB of
+    # wasted DMA per frame across the 10 non-tail calls)
+    xin_spec = tile_spec if tail else vspec
+    xin_op = xin if tail else jnp.zeros((8, 16, 128), jnp.bfloat16)
     return pl.pallas_call(
         kernel,
         grid=(ny, nx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # x+cond (manual halo DMA)
-            tile_spec,                              # xin (core tiles)
+            xin_spec,                               # xin (core tiles / dummy)
             vspec, vspec, vspec, vspec, vspec,      # k0..k4
             vspec, vspec, vspec,                    # bias, sftm, sftb
         ],
@@ -309,7 +314,7 @@ def rdb_apply_pallas(body, packed, *, H: int, W: int, th: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(body, xin if tail else body, *ks, bias, sftm, sftb)
+    )(body, xin_op, *ks, bias, sftm, sftb)
 
 
 def _conv(p, a, bf16=jnp.bfloat16):
