@@ -427,6 +427,13 @@ def _uptail_kernel(xw_ref, kup_ref, khr_ref, klast_ref, bias_ref, out_ref,
 
     Same conv formulation as :func:`_rdb_kernel` (dx-shift lane-concat
     buffers, aligned dy row offsets, frame-edge masking).
+
+    STATUS: parity-tested capability, NOT the production path -- measured
+    ~134 ms at fern 2x scale vs ~91 ms for the naive XLA upchain (the
+    per-tile kernel overhead outweighs the saved 4x-res HBM traffic at
+    4x the tile count). Kept for smaller-VMEM parts and as the starting
+    point for a lower-overhead revision; production uses the XLA upchain
+    (see sftnet_apply_pallas).
     """
     m = _HALO
     wh, ww = th + 2 * m, tw + 2 * m

@@ -28,3 +28,8 @@ def pytest_configure(config):
         "smoke: fast core subset (kernels/optim/config/ckpt) -- "
         "`pytest -m smoke` keeps the inner loop under ~2 min",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute tests (subprocess/distributed) -- deselect "
+        "with `-m 'not slow'` for a faster full pass",
+    )
