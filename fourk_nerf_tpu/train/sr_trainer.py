@@ -128,7 +128,10 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
         return d_model.apply({"params": dp, "spectral": ds}, x, cond,
                              update_sn=update_sn, mutable=["spectral"])
 
-    @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"))
+    # donate all trained state (see trainer.py: avoids a 2x grid-memory
+    # peak that OOMs fern-scale joint steps); buffers (1) stay read-only
+    @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"),
+                       donate_argnums=(0, 2, 3, 4, 5, 6, 7))
     def train_step(enc_params, buffers, enc_opt, sr_params, sr_opt, d_params, d_state,
                    d_opt, batch, lrs, key, *, apply_tv: bool, tv_dense: bool):
         rays_o, rays_d, viewdirs, target, target_hr, w2c = batch

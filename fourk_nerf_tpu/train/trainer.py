@@ -199,7 +199,14 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
     rand_bkgd = bool(render_kwargs.get("rand_bkgd", False))
     ndc_planes = bool(render_kwargs.get("ndc_planes", False))
 
-    @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"))
+    # donate params + optimizer state: without donation the old and new
+    # state are simultaneously live during the step, DOUBLING the grid
+    # memory footprint -- at fern scale (384x384x256 grids + Adam moments
+    # ~4.5 GB) that OOMs a 16 GB chip. Donation is ignored on CPU (tests
+    # unaffected); callers must not reuse the passed state after stepping
+    # (the training loops reassign it).
+    @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"),
+                       donate_argnums=(0, 2))
     def train_step(params, buffers, opt_state, batch, lrs, per_lr, key, *,
                    apply_tv: bool, tv_dense: bool):
         rays_o, rays_d, viewdirs, target = batch
