@@ -120,6 +120,18 @@ def main():
           f"-> {1e3 / step_ms:.1f} it/s; 300k iters = "
           f"{step_ms * 300e3 / 3.6e6:.1f} h", flush=True)
 
+    import pathlib
+    tdir = pathlib.Path("/root/repo/profile_r2/train_step")
+    tdir.mkdir(parents=True, exist_ok=True)
+    try:
+        with jax.profiler.trace(str(tdir)):
+            out = step(out[0], out[1], out[2], out[3], out[4], out[5],
+                       out[6], 99)
+            jax.block_until_ready(out[0]["density"])
+        print("trace ok", flush=True)
+    except Exception as e:
+        print(f"trace failed: {e}", flush=True)
+
 
 if __name__ == "__main__":
     main()
