@@ -133,17 +133,27 @@ def _tile4(b):
     return jnp.tile(b, 4)
 
 
+def _apply_mask(y, mask4):
+    """Zero out-of-frame pixels of an s2d activation. ``mask4`` is the
+    4-channel per-phase frame mask [1,Hs,Ws,4]; activations are laid out
+    phase-major with channel blocks of width C = y.shape[-1]//4, so the
+    mask must be repeated per activation width (NOT built once at a fixed
+    width and sliced -- that misassigns phases for narrower activations)."""
+    return y * jnp.repeat(mask4, y.shape[-1] // 4, axis=-1)
+
+
 def _sft_s2d(sp, x, cond, bf, mask=None):
     """SFTLayer in the s2d domain: 1x1 convs become block-diagonal.
-    ``mask`` zeroes out-of-frame phase channels (odd frame dims only) so
-    every conv layer sees exact zero padding at the true boundary."""
+    ``mask`` ([1,Hs,Ws,4] per-phase) zeroes out-of-frame phase channels
+    (odd frame dims only) so every conv layer sees exact zero padding at
+    the true boundary."""
     def m1(pp, a):
         return (a @ block_diag_1x1(jnp.asarray(pp["kernel"], bf)[0, 0])
                 + _tile4(jnp.asarray(pp["bias"], bf)))
     scale = m1(sp["scale1"], _lrelu(m1(sp["scale0"], cond)))
     shift = m1(sp["shift1"], _lrelu(m1(sp["shift0"], cond)))
     y = x * (scale + 1.0) + shift
-    return y if mask is None else y * mask[..., : y.shape[-1]]
+    return y if mask is None else _apply_mask(y, mask)
 
 
 def _rdb_s2d(bp, x, cond, bf, mask=None, wide_dtype=jnp.float32):
@@ -182,7 +192,7 @@ def _rdb_s2d(bp, x, cond, bf, mask=None, wide_dtype=jnp.float32):
         if j < n - 1:
             y = _lrelu(acc[j] + _tile4(bs[j])).astype(bf)
             if mask is not None:
-                y = y * mask[..., : y.shape[-1]]
+                y = _apply_mask(y, mask)
             src = _sft_s2d(bp["sft1"], y, cond, bf, mask) if j == 3 else y
     x5 = (acc[n - 1] + _tile4(bs[n - 1])).astype(bf)
     return x5 * bf(0.2) + x
@@ -212,16 +222,18 @@ def sftnet_apply_s2d(params, x, cond, *, scale: int = 4, num_block: int = 5,
              + jnp.asarray(params[nm]["bias"], bf))
 
     # frame mask (odd dims only): 1 on true-frame pixels per s2d phase,
-    # repeated phase-major to any channel width (broadcast by slicing)
+    # kept at 4 channels and repeated to each activation's width at every
+    # application site (see _apply_mask; a fixed-width sliced mask would
+    # misassign phases for activations narrower than it)
     mask = None
     if ph or pw:
         ones = jnp.pad(jnp.ones((1, H, W, 1), bf), ((0, 0), (0, ph), (0, pw), (0, 0)))
-        mask = jnp.repeat(s2d(ones), 64, axis=-1)  # [1,Hs,Ws,256] p-major
+        mask = s2d(ones)  # [1,Hs,Ws,4] per-phase
 
     body = s2d(feat)
     cs = s2d(c)
     if mask is not None:
-        body = body * mask
+        body = _apply_mask(body, mask)
     for i in range(num_block):
         bp = params[f"body{i}"]
         xin = body

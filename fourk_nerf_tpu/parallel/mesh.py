@@ -102,16 +102,27 @@ def maybe_initialize_distributed(enable: bool = False, **kwargs) -> bool:
         return False
     # NOTE: must not call jax.process_count()/jax.devices() here -- that
     # initializes the backend and makes a later distributed.initialize
-    # impossible. Query the distributed client state directly.
-    from jax._src import distributed as _dist
+    # impossible. Probe the (private) distributed client state when
+    # available; if that private API moves in a future JAX, fall through
+    # and let initialize() itself report "already initialized".
+    try:
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return True  # already initialized
+        if getattr(_dist.global_state, "client", None) is not None:
+            return True  # already initialized
+    except Exception:
+        pass
     try:
         jax.distributed.initialize(**kwargs)
         print(f"jax.distributed initialized: process {jax.process_index()}"
               f"/{jax.process_count()}")
         return True
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return True
+        print(f"maybe_initialize_distributed: initialize failed ({e}); "
+              "continuing single-process")
+        return False
     except Exception as e:
         print(f"maybe_initialize_distributed: initialize failed ({e}); "
               "continuing single-process")

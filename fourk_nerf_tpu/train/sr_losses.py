@@ -83,18 +83,29 @@ class VGG19Features(nn.Module):
         return out
 
 
-def import_vgg19_torch(path: str) -> dict:
+def import_vgg19_torch(path: str, allow_unsafe_pickle: bool = False) -> dict:
     """Convert a torchvision vgg19 ``features``-prefixed state dict to our
-    Flax param tree."""
+    Flax param tree.
+
+    A downloaded ``.pth`` is an arbitrary-code vector; by default only the
+    safe ``weights_only`` unpickler is used. Full unpickling must be opted
+    into explicitly (``allow_unsafe_pickle=True`` or env
+    ``FOURK_ALLOW_UNSAFE_PICKLE=1``) so a malformed file can't silently
+    regain code execution just by failing the safe parse."""
     import torch
 
     try:
-        # safe unpickler first: a downloaded .pth is an arbitrary-code vector
         sd = torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
+        if not (allow_unsafe_pickle
+                or os.environ.get("FOURK_ALLOW_UNSAFE_PICKLE") == "1"):
+            raise RuntimeError(
+                f"import_vgg19_torch: safe (weights_only) load failed for "
+                f"{path}. If you trust this file, re-run with "
+                f"allow_unsafe_pickle=True or FOURK_ALLOW_UNSAFE_PICKLE=1."
+            )
         print(f"import_vgg19_torch: weights_only load failed; falling back "
-              f"to full unpickling for {path} -- only do this for files you "
-              f"trust")
+              f"to full unpickling for {path} (explicitly opted in)")
         sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()

@@ -91,7 +91,8 @@ def sweep_patch_size_for(model_cfg, a_all, b_all, rows, cols, patch_px: int):
 def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwargs,
                        skip_zero_grad, sr_model, d_model, n_views: int,
                        patch: int, sr_ratio: int, perceptual=None,
-                       d_kind: str = "Unet", sweep_patch: int | None = None):
+                       d_kind: str = "Unet", sweep_patch: int | None = None,
+                       donate: bool = True):
     weight_tv_density = float(cfg_train.weight_tv_density)
     weight_tv_k0 = float(cfg_train.weight_tv_k0)
     use_gan = cfg_train.get("weight_gan", 0) > 0
@@ -128,10 +129,13 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
         return d_model.apply({"params": dp, "spectral": ds}, x, cond,
                              update_sn=update_sn, mutable=["spectral"])
 
-    # donate all trained state (see trainer.py: avoids a 2x grid-memory
-    # peak that OOMs fern-scale joint steps); buffers (1) stay read-only
+    # Donate all trained state (see trainer.py: avoids a 2x grid-memory
+    # peak that OOMs fern-scale joint steps); buffers (1) stay read-only.
+    # NOTE: donation invalidates the passed-in arrays on EVERY backend
+    # (including CPU on this JAX version) -- callers that need to reuse
+    # state after stepping (tests, dryruns) must build with donate=False.
     @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"),
-                       donate_argnums=(0, 2, 3, 4, 5, 6, 7))
+                       donate_argnums=(0, 2, 3, 4, 5, 6, 7) if donate else ())
     def train_step(enc_params, buffers, enc_opt, sr_params, sr_opt, d_params, d_state,
                    d_opt, batch, lrs, key, *, apply_tv: bool, tv_dense: bool):
         rays_o, rays_d, viewdirs, target, target_hr, w2c = batch

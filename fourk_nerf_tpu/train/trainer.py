@@ -189,7 +189,8 @@ def make_batch_sampler(sampler: str, flat: dict, n_rand: int, seed: int):
 # ---------------------------------------------------------------------------
 
 def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
-                    skip_zero_grad: frozenset, near_thres=None):
+                    skip_zero_grad: frozenset, near_thres=None,
+                    donate: bool = True):
     """Build a jitted step fn. Static per phase: model config (shapes),
     TV-mode flags. Traced: params, opt state, batch, lrs, rng key."""
 
@@ -199,14 +200,15 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
     rand_bkgd = bool(render_kwargs.get("rand_bkgd", False))
     ndc_planes = bool(render_kwargs.get("ndc_planes", False))
 
-    # donate params + optimizer state: without donation the old and new
+    # Donate params + optimizer state: without donation the old and new
     # state are simultaneously live during the step, DOUBLING the grid
     # memory footprint -- at fern scale (384x384x256 grids + Adam moments
-    # ~4.5 GB) that OOMs a 16 GB chip. Donation is ignored on CPU (tests
-    # unaffected); callers must not reuse the passed state after stepping
-    # (the training loops reassign it).
+    # ~4.5 GB) that OOMs a 16 GB chip. Donation invalidates the passed-in
+    # arrays on EVERY backend (including CPU on this JAX version); callers
+    # must not reuse the passed state after stepping (the training loops
+    # reassign it) -- tests/dryruns that reuse state build with donate=False.
     @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"),
-                       donate_argnums=(0, 2))
+                       donate_argnums=(0, 2) if donate else ())
     def train_step(params, buffers, opt_state, batch, lrs, per_lr, key, *,
                    apply_tv: bool, tv_dense: bool):
         rays_o, rays_d, viewdirs, target = batch

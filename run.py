@@ -148,7 +148,7 @@ def main():
             data_dict["poses"][idx], data_dict["HW"][idx], data_dict["Ks"][idx],
             cfg=cfg, render_kwargs=render_kwargs,
             gt_imgs=[np.asarray(data_dict["images"][i]) for i in idx],
-            eval_ssim=args.eval_ssim or True,
+            eval_ssim=args.eval_ssim,
             eval_lpips_vgg=args.eval_lpips_vgg,
             eval_lpips_alex=args.eval_lpips_alex,
         )

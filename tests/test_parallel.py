@@ -123,8 +123,11 @@ def test_joint_gd_step_sharded_matches():
     import numpy as np
     import __graft_entry__ as ge
 
+    # _joint_setup builds the step with donate=False (state is reused below)
     model_cfg, train_step, state, batch, lrs = ge._joint_setup()
     key = jax.random.PRNGKey(7)
+    density0 = np.asarray(state[0]["density"]).copy()
+    sr_leaf0 = np.asarray(jax.tree.leaves(state[3])[0]).copy()
     ref = train_step(*state[:3], *state[3:], batch, lrs, key,
                      apply_tv=True, tv_dense=True)
     m = pmesh.make_mesh(n_data=8, n_grid=1)
@@ -136,12 +139,19 @@ def test_joint_gd_step_sharded_matches():
     with m:
         out = train_step(*state_r[:3], *state_r[3:], batch_s, lrs, key,
                          apply_tv=True, tv_dense=True)
-    # bf16 production step: sharding reorders reductions, so agreement is
-    # at bf16 granularity (same tolerance as dryrun_multichip)
-    np.testing.assert_allclose(np.asarray(out[0]["density"]),
-                               np.asarray(ref[0]["density"]), atol=2e-2)
-    np.testing.assert_allclose(np.asarray(jax.tree.leaves(out[2])[0]),
-                               np.asarray(jax.tree.leaves(ref[2])[0]), atol=2e-2)
+    # bf16 production step + sharded reduction reorder: compare one-step
+    # UPDATE deltas (magnitude ~lr) rather than absolute params with a
+    # loose atol (which would exceed the signal). Direction must agree
+    # almost exactly; a few bf16-sensitive voxels may flip Adam sign.
+    ref_d_delta = np.asarray(ref[0]["density"]) - density0
+    out_d_delta = np.asarray(out[0]["density"]) - density0
+    cos = float(out_d_delta.ravel() @ ref_d_delta.ravel()) / (
+        np.linalg.norm(out_d_delta) * np.linalg.norm(ref_d_delta) + 1e-12)
+    assert cos > 0.999, cos
+    assert float(np.percentile(np.abs(out_d_delta - ref_d_delta), 99)) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(out[2])[0]) - sr_leaf0,
+        np.asarray(jax.tree.leaves(ref[2])[0]) - sr_leaf0, atol=1e-5)
 
 
 def test_all_reduce_dict_means_across_devices():
