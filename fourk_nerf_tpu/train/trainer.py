@@ -256,6 +256,14 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
 # rendering / eval (run.py:66-171)
 # ---------------------------------------------------------------------------
 
+def cfg_box_ok(model_cfg) -> bool:
+    """True when the bounded brick sweep (ops/box_sweep.py) can serve this
+    model: dense grids, explicit rgb."""
+    return (getattr(model_cfg, "density_type", "") == "DenseGrid"
+            and getattr(model_cfg, "k0_type", "") == "DenseGrid"
+            and not getattr(model_cfg, "rgbnet_full_implicit", False))
+
+
 def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, Ks, *,
                       cfg, render_kwargs, gt_imgs=None, chunk: int = 8192,
                       eval_ssim=True, eval_lpips_vgg=False, eval_lpips_alex=False,
@@ -281,6 +289,10 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
     # gather-free plane-sweep full-frame path (ops/plane_sweep.py) when the
     # NDC plane-alignment conditions hold -- ~15x faster than chunked gathers
     use_sweep = bool(rk.get("ndc_planes")) and model_mod is dmpigo and "rgbnet" in params
+    # bounded-scene brick sweep (ops/box_sweep.py): replaces the reference's
+    # fused CUDA chain for the dvgo family (render_utils_kernel.cu:144-242)
+    use_box = (model_mod is dvgo and cfg_box_ok(model_cfg)
+               and not cfg.data.ndc)
 
     pallas_ok = [True]  # sticky: stop retrying after the first failure
 
@@ -321,6 +333,18 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
             use_bf16=(gt_imgs is None),
         )
 
+    def box_frame(H, W, K_i, c2w):
+        from fourk_nerf_tpu.ops import box_sweep
+
+        # metrics (gt present) computed with the f32 sweep; bf16 is the
+        # metric-free speed mode (same policy as the NDC sweep)
+        return box_sweep.render_frame_box(
+            model_cfg, params, buffers, H, W, K_i, c2w,
+            stepsize=rk["stepsize"], near=rk["near"], bg=rk["bg"],
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+            flip_y=cfg.data.flip_y, use_bf16=(gt_imgs is None),
+        )
+
     @jax.jit
     def fwd(ro, rd, vd):
         # metrics path: force true-f32 MXU passes (TPU default is bf16-grade)
@@ -351,10 +375,13 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
 
     for fi, c2w in enumerate(render_poses):
         H, W = int(HW[fi][0]), int(HW[fi][1])
-        if use_sweep:
+        if use_sweep or use_box:
             try:
                 t0 = time.time()
-                out_f = sweep_frame(H, W, Ks[fi], c2w[:3, :4])
+                if use_box:
+                    out_f = box_frame(H, W, Ks[fi], c2w[:3, :4])
+                else:
+                    out_f = sweep_frame(H, W, Ks[fi], c2w[:3, :4])
                 rgb = np.asarray(out_f["rgb_marched"])
                 frame_times.append(time.time() - t0)
                 rgbs.append(rgb)
@@ -365,8 +392,8 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
                     add_metrics(rgb, fi)
                 continue
             except ValueError as e:  # footprint guard: fall back to gathers
-                print(f"render_viewpoints: plane-sweep unavailable ({e}); chunked path")
-                use_sweep = False
+                print(f"render_viewpoints: sweep unavailable ({e}); chunked path")
+                use_sweep = use_box = False
         ro, rd, vd = ray_ops.get_rays_of_a_view(
             H, W, Ks[fi], c2w[:3, :4], ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
             flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
