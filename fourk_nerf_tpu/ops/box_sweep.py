@@ -1,40 +1,46 @@
-"""Gather-free brick-sweep renderer for bounded scenes (DirectVoxGO class).
+"""Gather-free axis-aligned slab-sweep renderer for bounded scenes (DirectVoxGO).
 
 The reference serves bounded scenes with a fused CUDA chain
 (/root/reference/lib/cuda/render_utils_kernel.cu:144-242 sample_pts_on_rays +
 raw2alpha + alpha2weight) over a thrice-compacted ragged point list; our
 chunked-gather fallback reproduces that math exactly but XLA scalarizes the
 random voxel gathers (~33 s/frame at lego scale).  This module replaces the
-gathers with the same machinery that made the NDC plane sweep fast
-(ops/plane_sweep.py), generalized to arbitrary ray directions:
+gathers with the machinery that made the NDC plane sweep fast
+(ops/plane_sweep.py), generalized to arbitrary (perspective) rays:
 
-- Rays are processed in square pixel tiles.  Sample k of ray r sits at
-  ``pts = start_r + unit_r * (stepdist * k)`` -- AFFINE in k -- so a tile's
-  samples for a small block of consecutive ks live in a compact 3-D brick
-  whose per-axis extent is measured per frame (footprints of affine maps are
-  extremal at the k range ends).  Each (tile, block) fetches ONE brick with a
-  batched ``dynamic_slice`` -- no scalar gathers anywhere.
-- Trilinear interpolation inside the brick is two contractions: an
-  outer-product ``wx*wy`` hat-weight matrix times the brick flattened to
-  ``[Bx*By, Bz*C]`` (an MXU matmul), then a short z hat contraction.
-  Exactly the reference's 8-tap trilinear (a position's hat weights are
-  nonzero only at its two taps per axis).
-- **Two phases** replace the reference's dynamic compaction with static
-  shapes: phase 1 sweeps ALL K steps with a density+mask brick (cheap, few
-  channels) computing exact transmittance, ``alphainv_last``, and each
-  tile's surviving-sample window ``[S_t, E_t]`` (samples whose weight clears
-  ``fast_color_thres`` -- everything outside contributes exactly zero to the
-  composite, reference lib/dvgo.py:415-448).  Phase 2 re-sweeps only the
-  max window length L << K with full feature bricks + the rgbnet MLP,
-  restarting the transmittance from the captured ``T_start``.  This is the
-  TPU answer to the CUDA early-termination/compaction: the expensive MLP
-  runs on ~L/K of the samples with no ragged shapes.
+- Pick the frame's dominant grid axis: inward-facing captures concentrate ray
+  directions in a narrow cone, so all bbox-hitting rays share a major axis
+  along which their grid coordinate advances monotonically by at least
+  ``dz_min`` grid cells per sample step.  Sweep that axis SLAB by slab
+  (between adjacent grid planes), holding the plane pair resident; each plane
+  is read from HBM exactly once per phase.
+- Within slab j, ray r owns a **closed-form contiguous sample range**
+  ``k in [ceil((j - z0_r)/dz_r), ...)`` of at most ``S = ceil(1/dz_min)+2``
+  slots (its major coordinate is affine in the sample index k).  All rays of
+  a pixel tile advance together: positions for the ``R*S`` slot block are
+  evaluated, samples outside the slab are masked (alpha=0 == the reference's
+  ragged compaction, see ops/render.py docstring).
+- A tile's (u, v) footprint on the slab is a compact window whose origin
+  moves smoothly with j (measured per frame).  Each (tile, slab) fetches the
+  window from both resident planes with one ``dynamic_slice`` each -- no
+  scalar gathers anywhere.  Trilinear interpolation is separable hat-weight
+  contractions: ``wu`` on the MXU ([R*S, Pu] @ [Pu, Pv*2C]), ``wv`` as a
+  short VPU contraction, then a 2-tap blend across the plane pair.
+- The per-slab alpha -> transmittance -> composite runs as a ``lax.scan``
+  carrying the accumulated transmittance, reproducing
+  ``alpha2weight``'s early-termination and ``alphainv_last`` semantics
+  exactly (render_utils_kernel.cu:576-605).
 
-Exactness: sample positions, validity, nearest-neighbor mask lookup, alpha,
-early termination, and weight thresholding all use the same formulas as
-``models.dvgo.forward`` (which is itself exactly the ragged reference math,
-see ops/render.py docstring); with ``use_bf16=False`` outputs match the
-chunked path to f32 tolerance (tests/test_box_sweep.py).
+The free-space mask is read with snapped one-hot weights in all three axes
+(exact nearest-neighbor ``maskcache_lookup``, render_utils_kernel.cu:367-424),
+either as a packed channel (mask resolution == grid resolution) or from a
+per-slab stack of native-resolution mask planes.
+
+Numerics: with ``use_bf16=False`` outputs match the chunked path
+(``models.dvgo.forward``) to f32 tolerance (tests/test_box_sweep.py); sample
+positions, validity, alpha, thresholds and early termination use the same
+formulas.  ``use_bf16=True`` is the metric-free speed mode (bf16 MXU passes,
+f32 accumulation), same policy as ops/plane_sweep.py.
 """
 
 from __future__ import annotations
@@ -48,11 +54,17 @@ import numpy as np
 from fourk_nerf_tpu.models import common
 from fourk_nerf_tpu.ops import render, rays as ray_ops
 
-_BLOCK = 4  # consecutive samples per brick fetch
+_EPSK = 5e-3   # k-range ceil guard against f32 rounding (S carries headroom)
+_S_MAX = 24    # beyond this many slots/slab the sweep loses to chunked math
+_BIG = 3e8
 
 
-def _round_up(v: float, m: int) -> int:
-    return int(np.ceil(v / m) * m)
+def _round_up8(v: float) -> int:
+    return int(np.ceil((float(v)) / 8.0) * 8)
+
+
+def _perm(axis: int):
+    return (axis, (axis + 1) % 3, (axis + 2) % 3)
 
 
 def _tiles_of(x, nty, ntx, tile):
@@ -61,15 +73,56 @@ def _tiles_of(x, nty, ntx, tile):
             .reshape(nty * ntx, tile * tile, c))
 
 
+def _nearest(x):
+    """Nearest index under the snapped-hat convention rel in [-0.5, 0.5)."""
+    return np.floor(x + 0.5).astype(np.int64)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "H", "W", "tile", "n_samples", "stepdist", "near", "inverse_y",
-    "flip_x", "flip_y", "vpe"))
-def _prep_frame(Kc, c2w, xyz_min, xyz_max, sizes, *, H: int, W: int,
-                tile: int, n_samples: int, stepdist: float, near: float,
-                inverse_y: bool, flip_x: bool, flip_y: bool, vpe: int):
+    "cfg", "H", "W", "stepdist", "near", "inverse_y", "flip_x", "flip_y"))
+def _axis_stats(cfg, Kc, c2w, *, H: int, W: int, stepdist: float, near: float,
+                inverse_y: bool, flip_x: bool, flip_y: bool):
+    """Per-axis worst-case signed grid advance per sample step over
+    bbox-hitting rays, packed as [min_signed(3), sign(3), n_hit] -- ONE small
+    pull decides the sweep axis on the host."""
+    ro, rd, _ = ray_ops.get_rays_of_a_view(
+        H, W, Kc, c2w, ndc=False, inverse_y=inverse_y, flip_x=flip_x,
+        flip_y=flip_y)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    xyz_min = jnp.asarray(cfg.xyz_min)
+    xyz_max = jnp.asarray(cfg.xyz_max)
+    sizes = jnp.asarray(cfg.world_size, jnp.float32)
+    t_min, t_max = render.ray_aabb(ro, rd, xyz_min, xyz_max, near, 1e9)
+    hit = t_max > t_min
+    unit = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    dz = unit * stepdist / (xyz_max - xyz_min) * (sizes - 1.0)  # [N,3]
+    sgn = jnp.sign(jnp.sum(jnp.where(hit[:, None], dz, 0.0), axis=0))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    signed = dz * sgn
+    min_signed = jnp.min(jnp.where(hit[:, None], signed, _BIG), axis=0)
+    return jnp.concatenate(
+        [min_signed, sgn, jnp.sum(hit).astype(jnp.float32)[None]])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "H", "W", "tile", "axis", "flip", "stepsize", "near",
+    "inverse_y", "flip_x", "flip_y", "vpe"))
+def _prep_frame(cfg, Kc, c2w, *, H: int, W: int, tile: int, axis: int,
+                flip: bool, stepsize: float, near: float, inverse_y: bool,
+                flip_x: bool, flip_y: bool, vpe: int):
     """Single-dispatch frame prep: rays -> per-ray sampling params tiled
-    [T, R, .], plus per-(k, tile) position extremes [K, T, 3] (for brick
-    sizing/origins).  Only the footprint summary crosses to the host."""
+    [T, R, .] in PERMUTED world coordinates (major axis first), the flipped
+    major-axis affine (z0, dz), per-(slab, tile) footprint window minima
+    [Z-1, T, 2], and the global footprint spread [2] (the only host pull)."""
+    p = _perm(axis)
+    X, Y, Zf = [cfg.world_size[i] for i in p]
+    Z = X  # major-axis extent
+    stepdist = stepsize * cfg.voxel_size
+    K = cfg.n_samples(stepsize)
+    mn_all = jnp.asarray(cfg.xyz_min)
+    mx_all = jnp.asarray(cfg.xyz_max)
+
     ro, rd, vd = ray_ops.get_rays_of_a_view(
         H, W, Kc, c2w, ndc=False, inverse_y=inverse_y, flip_x=flip_x,
         flip_y=flip_y)
@@ -81,338 +134,276 @@ def _prep_frame(Kc, c2w, xyz_min, xyz_max, sizes, *, H: int, W: int,
     vd_t = _tiles_of(pad2(vd), nty, ntx, tile)
 
     # identical formulas to render.sample_pts_on_rays_fixed (parity)
-    t_min, t_max = render.ray_aabb(ro_t, rd_t, xyz_min, xyz_max, near, 1e9)
+    t_min, t_max = render.ray_aabb(ro_t, rd_t, mn_all, mx_all, near, 1e9)
+    hit_fp = t_max > t_min  # strict: tangent rays excluded from footprints
     rnorm = jnp.linalg.norm(rd_t, axis=-1)
-    n_per_ray = jnp.maximum(jnp.ceil((t_max - t_min) * rnorm / stepdist), 1.0)
-    # bbox-missing rays get t_min clipped as far as 1e9; their samples are
-    # all invalid (valid &= hit in the phases) so re-anchor them at `near`
-    # to keep their meaningless positions out of the brick footprints
-    hit = t_max >= t_min
-    t_eff = jnp.where(hit, t_min, near)
-    start = ro_t + rd_t * t_eff[..., None]
+    n_per = jnp.maximum(jnp.ceil((t_max - t_min) * rnorm / stepdist), 1.0)
+    start = ro_t + rd_t * t_min[..., None]
     unit = rd_t / rnorm[..., None]
     vdir_emb = ray_ops.positional_encoding(vd_t, vpe) if vpe else vd_t
 
-    # grid-space footprint extremes per (k, tile): pos affine in k, min/max
-    # over rays per tile streamed over k (scan keeps memory at [T,3]).
-    # Positions are clamped to each ray's valid sample range (k < n_per_ray)
-    # -- beyond it the ray has exited the bbox and its samples are masked,
-    # so their (diverging) positions must not inflate the footprint.  Rays
-    # that miss the bbox entirely (silhouette-edge tiles) are excluded the
-    # same way: all their samples are masked, and their re-anchored
-    # positions sit far outside the grid.
-    scale = (sizes - 1.0) / (xyz_max - xyz_min)
-    n_fp = jnp.where(hit, n_per_ray, 0.0)
-    big = jnp.float32(3e8)
+    pl = list(p)
+    start_p = start[..., pl]
+    unit_p = unit[..., pl]
+    mn = mn_all[jnp.asarray(pl)]
+    mx = mx_all[jnp.asarray(pl)]
+    sz = jnp.asarray([Z, Y, Zf], jnp.float32)
+    # grid coords affine in k: pos(k) = aff0 + dk * k  (chunked-path formula:
+    # ind01 * (n-1), see grid_sample.world_to_ind01)
+    aff0 = (start_p - mn) / (mx - mn) * (sz - 1.0)
+    dk = unit_p * stepdist / (mx - mn) * (sz - 1.0)
+    z0, dz = aff0[..., 0], dk[..., 0]
+    if flip:
+        z0 = (Z - 1) - z0
+        dz = -dz
+    dz = jnp.where(jnp.abs(dz) < 1e-8, 1e-8, dz)  # miss rays: keep finite
+    u0, du = aff0[..., 1], dk[..., 1]
+    v0, dv = aff0[..., 2], dk[..., 2]
+    kmax = jnp.minimum(n_per - 1.0, float(K - 1))
 
-    def body(_, k):
-        kv = jnp.minimum(k, n_fp)
-        pts = start + unit * (stepdist * kv)[..., None]
-        pos = (pts - xyz_min) * scale
-        pos_lo = jnp.where(hit[..., None], pos, big)
-        pos_hi = jnp.where(hit[..., None], pos, -big)
-        return None, (jnp.min(pos_lo, axis=1), jnp.max(pos_hi, axis=1))
+    def body(_, j):
+        ka_r = (j - z0) / dz
+        kb_r = (j + 1.0 - z0) / dz
+        ka = jnp.clip(jnp.ceil(ka_r - _EPSK), 0.0, kmax)
+        kb = jnp.clip(kb_r, 0.0, kmax)
+        # rays whose sample range doesn't intersect this slab contribute no
+        # member samples; their clamped entry/exit evaluation points can sit
+        # FAR from the tile's active rays (e.g. a tile straddling a bbox
+        # edge, where part of the rays enter through a minor-axis face many
+        # slabs later) -- excluding them keeps the window tight
+        active = hit_fp & (jnp.minimum(kb_r, kmax + 1.0)
+                           >= jnp.maximum(ka_r, 0.0) - 0.5)
+        ulo = jnp.minimum(u0 + du * ka, u0 + du * kb)
+        uhi = jnp.maximum(u0 + du * ka, u0 + du * kb)
+        vlo = jnp.minimum(v0 + dv * ka, v0 + dv * kb)
+        vhi = jnp.maximum(v0 + dv * ka, v0 + dv * kb)
+        big = jnp.float32(_BIG)
+        wmin = jnp.stack([
+            jnp.min(jnp.where(active, ulo, big), axis=1),
+            jnp.min(jnp.where(active, vlo, big), axis=1)], axis=-1)  # [T,2]
+        wmax = jnp.stack([
+            jnp.max(jnp.where(active, uhi, -big), axis=1),
+            jnp.max(jnp.where(active, vhi, -big), axis=1)], axis=-1)
+        return None, (wmin, wmax)
 
-    ks = jnp.arange(n_samples, dtype=start.dtype)
-    _, (minpos, maxpos) = jax.lax.scan(body, None, ks)  # [K,T,3]
-    return (start, unit, n_per_ray, hit, vdir_emb, minpos, maxpos)
-
-
-def _block_windows(minpos, maxpos, block: int):
-    """Per-(block, tile, axis) position windows.  min_r pos(k) is concave in
-    k and max_r convex, so over a block both extremes are attained at the
-    block's end ks."""
-    K = minpos.shape[0]
-    nb = -(-K // block)
-    ends = np.minimum(np.arange(nb) * block + block - 1, K - 1)
-    starts = np.arange(nb) * block
-    win_min = jnp.minimum(minpos[starts], minpos[ends])  # [NB,T,3]
-    win_max = jnp.maximum(maxpos[starts], maxpos[ends])
-    return win_min, win_max
-
-
-def _hat(pos, origin, taps):
-    """[...,] positions, [...] origins -> [..., B] two-tap hat weights."""
-    rel = (pos - origin.astype(pos.dtype))[..., None] - taps
-    return jnp.maximum(0.0, 1.0 - jnp.abs(rel))
-
-
-def _onehot(pos, origin, taps):
-    """Snapped one-hot weights (nearest-neighbor lookup, matches
-    grid_sample.nearest_mask_lookup's round())."""
-    rel = (pos - origin.astype(pos.dtype))[..., None] - taps
-    return ((rel >= -0.5) & (rel < 0.5)).astype(pos.dtype)
-
-
-def _slice_bricks(vol, origins, bx: int, by: int, bz: int):
-    """vol [X,Y,Z,C], origins [T,3] -> bricks [T,bx,by,bz,C]."""
-    C = vol.shape[-1]
-    return jax.vmap(
-        lambda o: jax.lax.dynamic_slice(vol, (o[0], o[1], o[2], 0),
-                                        (bx, by, bz, C))
-    )(origins)
+    js = jnp.arange(Z - 1, dtype=jnp.float32)
+    _, (wmin, wmax) = jax.lax.scan(body, None, js)  # [Z-1,T,2]
+    spread = jnp.max(jnp.clip(wmax - wmin, 0.0, None), axis=(0, 1))  # [2]
+    return (start_p, unit_p, n_per, vdir_emb, z0, dz, kmax, wmin, spread)
 
 
-def _origins(win_min, sizes_i, brick):
-    """[T,3] float window minima -> clipped int brick origins."""
-    o = jnp.floor(win_min).astype(jnp.int32) - 1
-    hi = jnp.asarray(sizes_i, jnp.int32) - jnp.asarray(brick, jnp.int32)
-    return jnp.clip(o, 0, hi)
-
-
-def _interp_block(brick, pos, org, brick_dims, mm_dtype, *, nearest=False):
-    """Separable trilinear (or snapped-nearest) interpolation of a brick.
-
-    brick: [T,bx,by,bz,C]; pos: [T,S,3] grid-space positions; org: [T,3].
-    Returns [T,S,C] (f32).  The xy hat outer-product contraction runs on the
-    MXU ([S, bx*by] @ [bx*by, bz*C]); the z contraction is a short VPU dot.
-    """
-    bx, by, bz = brick_dims
-    T, S, _ = pos.shape
-    C = brick.shape[-1]
-    w = _onehot if nearest else _hat
-    tx = jnp.arange(bx, dtype=pos.dtype)
-    ty = jnp.arange(by, dtype=pos.dtype)
-    tz = jnp.arange(bz, dtype=pos.dtype)
-    wx = w(pos[..., 0], org[:, None, 0], tx)  # [T,S,bx]
-    wy = w(pos[..., 1], org[:, None, 1], ty)
-    wz = w(pos[..., 2], org[:, None, 2], tz)
-    wxy = (wx[..., :, None] * wy[..., None, :]).reshape(T, S, bx * by)
-    flat = brick.reshape(T, bx * by, bz * C)
-    t1 = jax.lax.dot_general(
-        wxy.astype(mm_dtype), flat.astype(mm_dtype),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # [T,S,bz*C]
-    t1 = t1.reshape(T, S, bz, C)
-    return jnp.sum(wz[..., None].astype(jnp.float32) * t1, axis=2)  # [T,S,C]
-
-
-def _brick_plan(cfg, buffers, minpos, maxpos, block: int, max_brick: int):
-    """Host-side brick sizing from the footprint summary.  Returns
-    (brick_dims, mask_mode, mask_brick_dims, mscale, mshift) or None when the
-    required brick exceeds ``max_brick`` (caller falls back / shrinks tile)."""
-    win_min, win_max = _block_windows(minpos, maxpos, block)
-    # all-miss tiles carry (+big, -big) sentinel windows; a frame with no
-    # hit ray at all would give a negative spread -- clamp to 0
-    spread = np.maximum(np.asarray(jnp.max(win_max - win_min, axis=(0, 1))), 0.0)
-    X, Y, Z = cfg.world_size
-    dims = []
-    for s, n in zip(spread, (X, Y, Z)):
-        b = _round_up(float(s) + 3.0, 4)
-        if b > min(max_brick, n):
-            if n <= max_brick:
-                b = _round_up(n, 1)  # whole axis fits: use it
-            else:
-                return None
-        dims.append(min(b, n))
+def _pack_volumes(cfg, params, buffers, axis: int, flip: bool):
+    """density(+k0)(+mask channel) -> axis-major [Z, U, V, Cp] (channels
+    padded to a lane-friendly multiple of 8), plus native-mask info."""
+    p = _perm(axis)
+    density = params["density"]
+    k0 = params["k0"]
     mask = buffers["mask_cache"]
     channel_mode = tuple(mask.shape) == tuple(cfg.world_size)
+    parts = [density, k0]
     if channel_mode:
-        return tuple(dims), "channel", None, None, None
-    # native-resolution mask: pos_m = pos * s + c (both affine in world pts)
-    mX, mY, mZ = mask.shape
-    ms = np.array([(mX - 1) / max(X - 1, 1), (mY - 1) / max(Y - 1, 1),
-                   (mZ - 1) / max(Z - 1, 1)])
-    mdims = []
-    for s, scale, n in zip(spread, ms, (mX, mY, mZ)):
-        b = _round_up(float(s) * scale + 3.0, 4)
-        if b > min(max_brick, n):
-            if n <= max_brick:
-                b = n
-            else:
-                return None
-        mdims.append(min(b, n))
-    return tuple(dims), "native", tuple(mdims), ms, None
+        parts.append(mask.astype(density.dtype)[..., None])
+    vol = jnp.concatenate(parts, axis=-1)
+    cp = vol.shape[-1]
+    pad = (-cp) % 8
+    if pad:
+        vol = jnp.pad(vol, ((0, 0),) * 3 + ((0, pad),))
+    vol = jnp.transpose(vol, p + (3,))
+    if flip:
+        vol = vol[::-1]
+    if channel_mode:
+        return vol, ("channel", cp - 1), None
+    mvol = jnp.transpose(mask, p).astype(jnp.float32)
+    if flip:
+        mvol = mvol[::-1]
+    return vol, ("native", None), mvol
+
+
+def _mask_plane_plan(Z: int, mZ: int):
+    """Host-side: which native-mask planes each slab needs.  Slab j's samples
+    have flipped major coordinate z in ~[j, j+1]; their nearest mask plane
+    index lies in [nearest(j*msz)-1, nearest((j+1)*msz)+1] (the +-1 absorbs
+    the f32 gap between the affine and position-chain z).  Returns
+    (base [Z-1] int32 nominal first index, Wm static count)."""
+    msz = (mZ - 1) / max(Z - 1, 1)
+    j = np.arange(Z - 1, dtype=np.float64)
+    base = _nearest(j * msz) - 1
+    top = _nearest((j + 1) * msz) + 1
+    Wm = int(np.max(top - base)) + 1
+    return base.astype(np.int32), Wm
+
+
+def _hat(rel, P: int):
+    """[...] relative positions -> [..., P] two-tap hat weights."""
+    taps = jnp.arange(P, dtype=rel.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - taps))
+
+
+def _onehot(rel, P: int):
+    """Snapped one-hot weights (exact nearest-neighbor, rel in [-0.5, 0.5);
+    matches grid_sample.nearest_mask_lookup)."""
+    taps = jnp.arange(P, dtype=rel.dtype)
+    d = rel[..., None] - taps
+    return ((d >= -0.5) & (d < 0.5)).astype(rel.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "stepdist", "interval", "block", "brick", "mask_mode",
-    "mask_brick", "use_bf16"))
-def _phase1(cfg, vol1, mask_vol, start, unit, n_per_ray, hit, win_min_b,
-            *, stepdist: float, interval: float, block: int, brick: tuple,
-            mask_mode: str, mask_brick: tuple | None, use_bf16: bool):
-    """Full-K density sweep: exact transmittance, alphainv_last, and the
-    per-tile surviving-sample window.  vol1: [X,Y,Z,C1] density(+mask ch)."""
-    xyz_min = jnp.asarray(cfg.xyz_min)
-    xyz_max = jnp.asarray(cfg.xyz_max)
-    sizes = jnp.asarray(cfg.world_size, jnp.float32)
-    scale = (sizes - 1.0) / (xyz_max - xyz_min)
-    K = cfg.n_samples(stepdist / cfg.voxel_size)
-    NB = -(-K // block)
-    T, R, _ = start.shape
+    "cfg", "stepsize", "S", "Pu", "Pv", "axis", "flip", "use_bf16",
+    "mask_mode", "mask_ch", "mPu", "mPv", "Wm", "bg", "ablate"))
+def _sweep(cfg, params, buffers, start_p, unit_p, n_per, vdir_emb, z0, dz,
+           kmax, wmin_all, *, stepsize: float, S: int, Pu: int, Pv: int,
+           axis: int, flip: bool, use_bf16: bool, mask_mode: str,
+    mask_ch: int | None, mPu: int, mPv: int, Wm: int, bg: float,
+    ablate: str = ""):
+    """Slab-outer sweep: each grid plane is read from HBM exactly once; all
+    ray tiles advance together.  Returns (rgb_marched [T,R,3], depth [T,R],
+    alphainv_last [T,R])."""
+    p = _perm(axis)
+    Z, U, V = [cfg.world_size[i] for i in p]
+    K = cfg.n_samples(stepsize)
+    n_ref = cfg.n_samples_ref(stepsize)
+    stepdist = stepsize * cfg.voxel_size
+    interval = stepsize * cfg.voxel_size_ratio
     fct = float(cfg.fast_color_thres)
+    kdim = cfg.k0_dim
+    has_mlp = cfg.rgbnet_dim > 0
     mm = jnp.bfloat16 if use_bf16 else jnp.float32
-    bx, by, bz = brick
+    pl = list(p)
+    mn = jnp.asarray(cfg.xyz_min)[jnp.asarray(pl)]
+    mx = jnp.asarray(cfg.xyz_max)[jnp.asarray(pl)]
+    sz = jnp.asarray([Z, U, V], jnp.float32)
+    act = common.activation(cfg.act_type) if cfg.act_type else jax.nn.relu
+    mlp_mm = (jax.tree.map(lambda x: x.astype(mm), params["rgbnet"])
+              if has_mlp else None)
+    T, R, _ = start_p.shape
+
+    vol, (mode, mc), mvol = _pack_volumes(cfg, params, buffers, axis, flip)
+    assert mode == mask_mode and mc == mask_ch
+    Cp = vol.shape[-1]
     if mask_mode == "native":
-        mbx, mby, mbz = mask_brick
-        mX, mY, mZ = mask_vol.shape[:3]
-        mscale = jnp.asarray(
-            [(mX - 1) / max(cfg.world_size[0] - 1, 1),
-             (mY - 1) / max(cfg.world_size[1] - 1, 1),
-             (mZ - 1) / max(cfg.world_size[2] - 1, 1)], jnp.float32)
+        mZ, mU, mV = mvol.shape
+        base_np, _wm = _mask_plane_plan(Z, mZ)
+        idx = np.clip(base_np[:, None] + np.arange(Wm)[None, :], 0, mZ - 1)
+        mplanes = mvol[jnp.asarray(idx)]          # [Z-1, Wm, mU, mV]
+        base = jnp.asarray(base_np, jnp.float32)  # [Z-1]
+        msu = (mU - 1) / max(U - 1, 1)
+        msv = (mV - 1) / max(V - 1, 1)
+        msz = (mZ - 1) / max(Z - 1, 1)
+    else:
+        mplanes = jnp.zeros((Z - 1, 1, 1, 1), jnp.float32)
+        base = jnp.zeros((Z - 1,), jnp.float32)
 
     def body(carry, inp):
-        (t_cum, ail, found, s_blk, t_start, e_k) = carry
-        win_min, bi = inp  # [T,3], []
-        org = _origins(win_min, cfg.world_size, brick)
-        bricks = _slice_bricks(vol1, org, bx, by, bz)  # [T,bx,by,bz,C1]
-        ks = bi * block + jnp.arange(block, dtype=jnp.float32)  # [B]
-        # positions: same formula as sample_pts_on_rays_fixed for parity
-        pts = start[:, :, None, :] + unit[:, :, None, :] * (stepdist * ks)[None, None, :, None]
-        pos = ((pts - xyz_min) * scale).reshape(T, R * block, 3)
+        plane_prev, t_cum, ail, rgb_acc, depth_acc = carry
+        plane_cur, wmin, j, mpl, base_j = inp
 
-        samp = _interp_block(bricks, pos, org, brick, mm)  # [T,RB,C1]
-        density = samp[..., 0].reshape(T, R, block)
-        if mask_mode == "channel":
-            msamp = _interp_block(bricks[..., 1:2], pos, org, brick,
-                                  jnp.float32, nearest=True)
-            mval = msamp[..., 0].reshape(T, R, block)
+        k_lo = jnp.clip(jnp.ceil((j - z0) / dz - _EPSK), 0.0, kmax)  # [T,R]
+        ks = k_lo[..., None] + jnp.arange(S, dtype=jnp.float32)      # [T,R,S]
+        pts = (start_p[:, :, None, :]
+               + unit_p[:, :, None, :] * (stepdist * ks)[..., None])
+        in_bbox = jnp.all((pts >= mn) & (pts <= mx), axis=-1)
+        pos = (pts - mn) / (mx - mn) * (sz - 1.0)
+        zp = ((Z - 1) - pos[..., 0]) if flip else pos[..., 0]
+        z_aff = z0[..., None] + dz[..., None] * ks
+        member = jnp.clip(jnp.floor(z_aff), 0.0, float(Z - 2)) == j
+        valid = member & in_bbox & (ks < n_per[..., None]) & (ks < K)
+
+        ou = jnp.clip(jnp.floor(wmin[:, 0]).astype(jnp.int32) - 1, 0, U - Pu)
+        ov = jnp.clip(jnp.floor(wmin[:, 1]).astype(jnp.int32) - 1, 0, V - Pv)
+        slice_win = lambda pln: jax.vmap(
+            lambda x0, y0: jax.lax.dynamic_slice(pln, (x0, y0, 0),
+                                                 (Pu, Pv, Cp)))(ou, ov)
+        patch2 = jnp.concatenate(
+            [slice_win(plane_prev), slice_win(plane_cur)], axis=-1)
+
+        uf = pos[..., 1].reshape(T, R * S)
+        vf = pos[..., 2].reshape(T, R * S)
+        zf = zp.reshape(T, R * S)
+        rel_u = uf - ou[:, None].astype(uf.dtype)
+        rel_v = vf - ov[:, None].astype(vf.dtype)
+        wu = _hat(rel_u, Pu)  # [T,RS,Pu]
+        wv = _hat(rel_v, Pv)
+        if ablate == "nointerp":  # keep the DMA, drop the contractions
+            samp2 = jnp.broadcast_to(patch2[:, 0, 0, None, :],
+                                     (T, R * S, 2 * Cp)) * wu[..., :1]
+        elif ablate == "fused":   # outer-product single-matmul variant
+            wuv = (wu[..., :, None] * wv[..., None, :]).reshape(
+                T, R * S, Pu * Pv)
+            samp2 = jax.lax.dot_general(
+                wuv.astype(mm), patch2.reshape(T, Pu * Pv, 2 * Cp).astype(mm),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
         else:
-            pos_m = pos * mscale
-            org_m = _origins(win_min * mscale, mask_vol.shape[:3], mask_brick)
-            mbricks = _slice_bricks(mask_vol, org_m, mbx, mby, mbz)
-            mval = _interp_block(mbricks, pos_m, org_m, mask_brick,
-                                 jnp.float32, nearest=True)[..., 0]
-            mval = mval.reshape(T, R, block)
+            tmp = jnp.einsum(
+                "trp,tpqc->trqc", wu.astype(mm), patch2.astype(mm),
+                preferred_element_type=jnp.float32)      # [T,RS,Pv,2Cp]
+            samp2 = jnp.einsum("trq,trqc->trc", wv, tmp)  # [T,RS,2Cp]
+        wz0 = jnp.maximum(0.0, 1.0 - jnp.abs(zf - j))
+        wz1 = jnp.maximum(0.0, 1.0 - jnp.abs(zf - (j + 1.0)))
+        samp = (wz0[..., None] * samp2[..., :Cp]
+                + wz1[..., None] * samp2[..., Cp:])      # [T,RS,Cp]
+        samp = samp.reshape(T, R, S, Cp)
+        density = samp[..., 0]
+        feat = samp[..., 1:1 + kdim]
 
-        in_bbox = jnp.all((pts >= xyz_min) & (pts <= xyz_max), axis=-1)
-        in_count = ks[None, None, :] < n_per_ray[:, :, None]
-        valid = in_bbox & in_count & hit[:, :, None] & (mval > 0.5)
+        # exact nearest-neighbor mask: snapped one-hot in ALL axes
+        if ablate == "nomask":
+            mval = jnp.ones((T, R * S), jnp.float32)
+        elif mask_mode == "channel":
+            pm = jnp.stack([patch2[..., mask_ch], patch2[..., Cp + mask_ch]],
+                           axis=-1)                      # [T,Pu,Pv,2]
+            mtmp = jnp.einsum("trp,tpqc->trqc", _onehot(rel_u, Pu), pm)
+            mpair = jnp.einsum("trq,trqc->trc", _onehot(rel_v, Pv), mtmp)
+            g0 = (zf - j >= -0.5) & (zf - j < 0.5)
+            mval = jnp.where(g0, mpair[..., 0], mpair[..., 1])
+        else:
+            oum = jnp.clip((jnp.floor(wmin[:, 0] * msu)).astype(jnp.int32) - 1,
+                           0, mU - mPu)
+            ovm = jnp.clip((jnp.floor(wmin[:, 1] * msv)).astype(jnp.int32) - 1,
+                           0, mV - mPv)
+            mpatch = jax.vmap(
+                lambda x0, y0: jax.lax.dynamic_slice(
+                    mpl, (0, x0, y0), (Wm, mPu, mPv)))(oum, ovm)
+            rel_um = uf * msu - oum[:, None].astype(uf.dtype)
+            rel_vm = vf * msv - ovm[:, None].astype(vf.dtype)
+            rel_zm = zf * msz - base_j
+            mtmp = jnp.einsum("trp,twpq->trwq", _onehot(rel_um, mPu),
+                              mpatch)
+            m2 = jnp.einsum("trq,trwq->trw", _onehot(rel_vm, mPv), mtmp)
+            mval = jnp.sum(_onehot(rel_zm, Wm) * m2, axis=-1)
+        mval = mval.reshape(T, R, S)
+
+        valid = valid & (mval > 0.5)
         alpha = render.raw2alpha(density, cfg.act_shift, interval)
         if fct > 0:
             valid = valid & (alpha > fct)
         alphav = jnp.where(valid, alpha, 0.0)
 
+        # alpha2weight semantics on the slot block (ops/render.py:39-69):
+        # the cumprod is NOT alive-gated; alive = pre-transmittance >= thres;
+        # alphainv_last tracks t_post at the last alive slot
         om1 = 1.0 - alphav
-        cp = jnp.cumprod(om1, axis=-1)
+        cp_ = jnp.cumprod(om1, axis=-1)
         t_pre = t_cum[..., None] * jnp.concatenate(
-            [jnp.ones_like(cp[..., :1]), cp[..., :-1]], axis=-1)  # [T,R,B]
-        t_post = t_cum[..., None] * cp
+            [jnp.ones_like(cp_[..., :1]), cp_[..., :-1]], axis=-1)
+        t_post = t_cum[..., None] * cp_
         alive = t_pre >= render.EARLY_TERM_THRES
         wgt = jnp.where(alive, t_pre * alphav, 0.0)
         if fct > 0:
-            surv = wgt > fct
-        else:
-            surv = wgt > 0
-        # alphainv_last = t_post at the last alive sample (render.alpha2weight)
+            wgt = jnp.where(wgt > fct, wgt, 0.0)
         n_alive = jnp.sum(alive, axis=-1)
         last = jnp.maximum(n_alive - 1, 0)
         ail_blk = jnp.take_along_axis(t_post, last[..., None], axis=-1)[..., 0]
         ail = jnp.where(n_alive > 0, ail_blk, ail)
 
-        s_any = jnp.any(surv, axis=(1, 2))  # [T]
-        first_here = (~found) & s_any
-        # capture at BLOCK granularity: phase 2 restarts from this block's
-        # first step with the carried-in transmittance
-        s_blk = jnp.where(first_here, bi, s_blk)
-        t_start = jnp.where(first_here[:, None], t_cum, t_start)
-        found = found | s_any
-        # last step index with any survivor in the tile
-        surv_k = jnp.any(surv, axis=1)  # [T,B]
-        last_b = (block - 1) - jnp.argmax(surv_k[:, ::-1], axis=-1)
-        e_k = jnp.where(s_any, bi * block + last_b, e_k)
-        t_cum = t_post[..., -1]
-        return (t_cum, ail, found, s_blk, t_start, e_k), None
-
-    init = (jnp.ones((T, R), jnp.float32), jnp.ones((T, R), jnp.float32),
-            jnp.zeros((T,), bool), jnp.zeros((T,), jnp.int32),
-            jnp.ones((T, R), jnp.float32),
-            jnp.full((T,), -1, jnp.int32))
-    bis = jnp.arange(NB, dtype=jnp.int32)
-    (t_cum, ail, found, s_blk, t_start, e_k), _ = jax.lax.scan(
-        body, init, (win_min_b, bis))
-    # frame window length (in blocks), pulled by the caller
-    l_blocks = jnp.where(found, -(-(e_k + 1 - s_blk * block) // block), 0)
-    return s_blk, t_start, ail, jnp.max(l_blocks)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "cfg", "stepdist", "interval", "block", "brick", "mask_mode",
-    "mask_brick", "nb2", "use_bf16", "has_mlp"))
-def _phase2(cfg, vol, mask_vol, mlp_params, start, unit, n_per_ray, hit,
-            vdir_emb, win_min_b, s_blk, t_start, ail,
-            *, stepdist: float, interval: float, block: int, brick: tuple,
-            mask_mode: str, mask_brick: tuple | None, nb2: int,
-            use_bf16: bool, has_mlp: bool):
-    """Window sweep with full feature bricks + MLP; composites rgb/depth.
-    vol: [X,Y,Z,Cp] density+k0(+mask ch).  win_min_b: [NB_pad,T,3] per-block
-    footprint minima (padded past K; steps beyond K are masked)."""
-    xyz_min = jnp.asarray(cfg.xyz_min)
-    xyz_max = jnp.asarray(cfg.xyz_max)
-    sizes = jnp.asarray(cfg.world_size, jnp.float32)
-    scale = (sizes - 1.0) / (xyz_max - xyz_min)
-    stepsize = stepdist / cfg.voxel_size
-    K = cfg.n_samples(stepsize)
-    n_ref = cfg.n_samples_ref(stepsize)
-    T, R, _ = start.shape
-    fct = float(cfg.fast_color_thres)
-    mm = jnp.bfloat16 if use_bf16 else jnp.float32
-    bx, by, bz = brick
-    kdim = cfg.k0_dim
-    if mask_mode == "native":
-        mbx, mby, mbz = mask_brick
-        mX, mY, mZ = mask_vol.shape[:3]
-        mscale = jnp.asarray(
-            [(mX - 1) / max(cfg.world_size[0] - 1, 1),
-             (mY - 1) / max(cfg.world_size[1] - 1, 1),
-             (mZ - 1) / max(cfg.world_size[2] - 1, 1)], jnp.float32)
-    mlp_mm = (jax.tree.map(lambda x: x.astype(mm), mlp_params)
-              if has_mlp else None)
-    act = common.activation(cfg.act_type) if cfg.act_type else jax.nn.relu
-    vmax = win_min_b.shape[0] - 1
-
-    def body(carry, j):
-        t_cum, rgb_acc, depth_acc = carry
-        blk = jnp.minimum(s_blk + j, vmax)  # [T] per-tile global block idx
-        win_min = jnp.take_along_axis(
-            win_min_b, blk[None, :, None].astype(jnp.int32), axis=0)[0]
-        org = _origins(win_min, cfg.world_size, brick)
-        bricks = _slice_bricks(vol, org, bx, by, bz)
-        ks = (blk[:, None].astype(jnp.float32) * block
-              + jnp.arange(block, dtype=jnp.float32)[None, :])  # [T,B]
-        pts = (start[:, :, None, :]
-               + unit[:, :, None, :] * (stepdist * ks)[:, None, :, None])
-        pos = ((pts - xyz_min) * scale).reshape(T, R * block, 3)
-
-        samp = _interp_block(bricks, pos, org, brick, mm)  # [T,RB,Cp]
-        samp = samp.reshape(T, R, block, -1)
-        density = samp[..., 0]
-        feat = samp[..., 1:1 + kdim]
-        if mask_mode == "channel":
-            msamp = _interp_block(bricks[..., 1 + kdim:2 + kdim], pos, org,
-                                  brick, jnp.float32, nearest=True)
-            mval = msamp[..., 0].reshape(T, R, block)
-        else:
-            pos_m = pos * mscale
-            org_m = _origins(win_min * mscale, mask_vol.shape[:3], mask_brick)
-            mbricks = _slice_bricks(mask_vol, org_m, mbx, mby, mbz)
-            mval = _interp_block(mbricks, pos_m, org_m, mask_brick,
-                                 jnp.float32, nearest=True)[..., 0]
-            mval = mval.reshape(T, R, block)
-
-        in_bbox = jnp.all((pts >= xyz_min) & (pts <= xyz_max), axis=-1)
-        in_count = (ks[:, None, :] < n_per_ray[:, :, None]) & (ks[:, None, :] < K)
-        valid = in_bbox & in_count & hit[:, :, None] & (mval > 0.5)
-        alpha = render.raw2alpha(density, cfg.act_shift, interval)
-        if fct > 0:
-            valid = valid & (alpha > fct)
-        alphav = jnp.where(valid, alpha, 0.0)
-
-        om1 = 1.0 - alphav
-        cp = jnp.cumprod(om1, axis=-1)
-        t_pre = t_cum[..., None] * jnp.concatenate(
-            [jnp.ones_like(cp[..., :1]), cp[..., :-1]], axis=-1)
-        alive = t_pre >= render.EARLY_TERM_THRES
-        wgt = jnp.where(alive, t_pre * alphav, 0.0)
-        if fct > 0:
-            wgt = jnp.where(wgt > fct, wgt, 0.0)
-
         # rgb: reference lib/dvgo.py:346-379
-        if not has_mlp:
+        if ablate == "nomlp":
+            rgb_raw = jax.nn.sigmoid(samp[..., 1:4])
+        elif not has_mlp:
             rgb_raw = jax.nn.sigmoid(feat)
         else:
             vemb = jnp.broadcast_to(vdir_emb[:, :, None, :],
-                                    (T, R, block, vdir_emb.shape[-1]))
+                                    (T, R, S, vdir_emb.shape[-1]))
             if cfg.rgbnet_direct:
                 rgb_feat = jnp.concatenate([feat, vemb], axis=-1)
             else:
@@ -425,161 +416,108 @@ def _phase2(cfg, vol, mask_vol, mlp_params, start, unit, n_per_ray, hit,
                 rgb_raw = jax.nn.sigmoid(logit + feat[..., :3])
 
         rgb_acc = rgb_acc + jnp.sum(wgt[..., None] * rgb_raw, axis=2)
-        s_val = (ks[:, None, :] + 0.5) / n_ref
-        depth_acc = depth_acc + jnp.sum(wgt * s_val, axis=2)
-        t_cum = t_cum * cp[..., -1]
-        return (t_cum, rgb_acc, depth_acc), None
+        depth_acc = depth_acc + jnp.sum(wgt * ((ks + 0.5) / n_ref), axis=2)
+        t_cum = t_post[..., -1]
+        return (plane_cur, t_cum, ail, rgb_acc, depth_acc), None
 
-    init = (t_start, jnp.zeros((T, R, 3), jnp.float32),
-            jnp.zeros((T, R), jnp.float32))
-    (t_cum, rgb_acc, depth_acc), _ = jax.lax.scan(
-        body, init, jnp.arange(nb2, dtype=jnp.int32))
-    return rgb_acc, depth_acc
+    init = (vol[0], jnp.ones((T, R), jnp.float32), jnp.ones((T, R), jnp.float32),
+            jnp.zeros((T, R, 3), jnp.float32), jnp.zeros((T, R), jnp.float32))
+    js = jnp.arange(Z - 1, dtype=jnp.float32)
+    (_, t_cum, ail, rgb_acc, depth_acc), _ = jax.lax.scan(
+        body, init, (vol[1:], wmin_all, js, mplanes, base))
+    return rgb_acc + ail[..., None] * bg, depth_acc, ail
 
 
 def render_frame_box(cfg, params, buffers, H: int, W: int, Kc, c2w, *,
                      stepsize: float, near: float, bg: float,
                      inverse_y=False, flip_x=False, flip_y=False,
                      use_bf16: bool = True, tile: int = 16,
-                     block: int = _BLOCK, max_brick: int = 48,
-                     timers: dict | None = None):
+                     timers: dict | None = None, _ablate: str = ""):
     """Full-frame bounded-scene render.  Returns dict with
     rgb_marched/rgb_feature/depth/alphainv_last maps ([H,W,*]).
 
-    Raises ValueError when the footprint doesn't fit ``max_brick`` at any
-    tile size or the grid types aren't dense (caller falls back to the
-    chunked-gather path)."""
+    Raises ValueError when the frame's rays don't share a dominant grid axis
+    with enough per-step advance (S would exceed ``_S_MAX``) or the grid
+    types aren't dense (caller falls back to the chunked-gather path)."""
     if cfg.density_type != "DenseGrid" or cfg.k0_type != "DenseGrid":
         raise ValueError("box sweep requires dense grids")
     if cfg.rgbnet_full_implicit:
         raise ValueError("box sweep: rgbnet_full_implicit unsupported")
-    xyz_min = jnp.asarray(cfg.xyz_min)
-    xyz_max = jnp.asarray(cfg.xyz_max)
-    sizes = jnp.asarray(cfg.world_size, jnp.float32)
     stepdist = stepsize * cfg.voxel_size
-    K = cfg.n_samples(stepsize)
-    interval = stepsize * cfg.voxel_size_ratio
     has_mlp = cfg.rgbnet_dim > 0
 
     import time as _time
 
     def _mark(name, *pulls):
         if timers is not None:
-            for p in pulls:
-                float(jnp.asarray(p).reshape(-1)[0])
+            for pp in pulls:
+                float(jnp.asarray(pp).reshape(-1)[0])
             timers.setdefault(name, []).append(_time.time())
 
     _mark("t0")
-    plan = None
-    while tile >= 4:
+    stats = np.asarray(_axis_stats(
+        cfg, jnp.asarray(Kc), jnp.asarray(c2w), H=H, W=W,
+        stepdist=float(stepdist), near=float(near), inverse_y=inverse_y,
+        flip_x=flip_x, flip_y=flip_y))
+    min_signed, sgn, n_hit = stats[:3], stats[3:6], stats[6]
+    if n_hit == 0:  # no ray hits the bbox: pure-background frame
+        return {
+            "rgb_marched": np.full((H, W, 3), bg, np.float32),
+            "rgb_feature": np.zeros((H, W, 3), np.float32),
+            "depth": np.zeros((H, W), np.float32),
+            "alphainv_last": np.ones((H, W), np.float32),
+        }
+    axis = int(np.argmax(min_signed))
+    mdz = float(min_signed[axis])
+    if mdz <= 1.0 / (_S_MAX - 2):
+        raise ValueError(
+            f"box sweep: no dominant axis (min grid advance {mdz:.4f}/step)")
+    S = int(np.ceil(1.0 / mdz)) + 2
+    S += S % 2  # quantize: fewer distinct compiles across an orbit's poses
+    flip = bool(sgn[axis] < 0)
+    p = _perm(axis)
+    Z, U, V = [cfg.world_size[i] for i in p]
+
+    while True:
         prep = _prep_frame(
-            jnp.asarray(Kc), jnp.asarray(c2w), xyz_min, xyz_max, sizes,
-            H=H, W=W, tile=tile, n_samples=K, stepdist=float(stepdist),
-            near=float(near), inverse_y=inverse_y, flip_x=flip_x,
-            flip_y=flip_y, vpe=cfg.viewbase_pe if has_mlp else 0)
-        start, unit, n_per_ray, hit, vdir_emb, minpos, maxpos = prep
-        plan = _brick_plan(cfg, buffers, minpos, maxpos, block, max_brick)
-        if plan is not None:
+            cfg, jnp.asarray(Kc), jnp.asarray(c2w), H=H, W=W, tile=tile,
+            axis=axis, flip=flip, stepsize=float(stepsize), near=float(near),
+            inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y,
+            vpe=cfg.viewbase_pe if has_mlp else 0)
+        start_p, unit_p, n_per, vdir_emb, z0, dz, kmax, wmin, spread = prep
+        spread = np.asarray(spread)  # the one prep pull
+        Pu = min(U, max(16, _round_up8(spread[0] + 4)))
+        Pv = min(V, max(16, _round_up8(spread[1] + 4)))
+        if (Pu <= 48 and Pv <= 48) or tile <= 4:
             break
         tile //= 2
-    if plan is None:
-        raise ValueError("box sweep: footprint exceeds max_brick at tile=4")
-    brick, mask_mode, mask_brick, _ms, _ = plan
+    _mark("prep")
 
-    # packed volumes: phase 1 density(+mask); phase 2 density+k0(+mask)
-    density = params["density"]
-    k0 = params["k0"]
-    mcache = buffers["mask_cache"]
-    if mask_mode == "channel":
-        mch = mcache.astype(density.dtype)[..., None]
-        vol1 = jnp.concatenate([density, mch], axis=-1)
-        vol2 = jnp.concatenate([density, k0, mch], axis=-1)
-        mask_vol = jnp.zeros((1, 1, 1, 1), density.dtype)
+    mask = buffers["mask_cache"]
+    channel_mode = tuple(mask.shape) == tuple(cfg.world_size)
+    if channel_mode:
+        mask_mode, mask_ch = "channel", 1 + cfg.k0_dim
+        mPu = mPv = Wm = 1
     else:
-        vol1 = density
-        vol2 = jnp.concatenate([density, k0], axis=-1)
-        mask_vol = mcache.astype(jnp.float32)[..., None]
-    pad2c = (-vol2.shape[-1]) % 8
-    if pad2c:
-        vol2 = jnp.pad(vol2, ((0, 0),) * 3 + ((0, pad2c),))
-
-    win_min_b, _ = _block_windows(minpos, maxpos, block)  # [NB,T,3]
-    _mark("prep", win_min_b)
-
-    # Tile-band processing: phase 2 materializes one feature brick per tile
-    # per scan step ([TB, bx, by, bz, Cp] f32); at 4K/800p frame scale the
-    # whole frame at once blows HBM, so tiles run in bands sized from a
-    # brick-memory budget.  Each band also derives its own phase-2 window
-    # (local depth range), which is tighter than a frame-global one.
-    T_all = start.shape[0]
-    bx, by, bz = brick
-    Cp = vol2.shape[-1]
-    brick_bytes = bx * by * bz * Cp * 4
-    tb = int(max(16, min(T_all, (1 << 28) // max(1, brick_bytes))))
-    n_bands = -(-T_all // tb)
-    Tp = n_bands * tb
-    if Tp != T_all:
-        padT = lambda x, v: jnp.concatenate(
-            [x, jnp.full((Tp - T_all,) + x.shape[1:], v, x.dtype)], axis=0)
-        start_p = padT(start, 0.0)
-        unit_p = jnp.concatenate(
-            [unit, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], unit.dtype),
-                                    (Tp - T_all,) + unit.shape[1:])], axis=0)
-        n_per_p = padT(n_per_ray, 0.0)
-        hit_p = padT(hit, False)
-        vdir_p = padT(vdir_emb, 0.0)
-        win_p = jnp.concatenate(
-            [win_min_b, jnp.zeros((win_min_b.shape[0], Tp - T_all, 3),
-                                  win_min_b.dtype)], axis=1)
-    else:
-        start_p, unit_p, n_per_p, hit_p, vdir_p, win_p = (
-            start, unit, n_per_ray, hit, vdir_emb, win_min_b)
+        mask_mode, mask_ch = "native", None
+        mZ, mU, mV = [mask.shape[i] for i in p]
+        _, Wm = _mask_plane_plan(Z, mZ)
+        mPu = min(mU, _round_up8(spread[0] * (mU - 1) / max(U - 1, 1) + 5))
+        mPv = min(mV, _round_up8(spread[1] * (mV - 1) / max(V - 1, 1) + 5))
 
     # metrics-grade f32 must force true-f32 MXU passes (TPU default matmul
     # precision is bf16-grade on f32 inputs; same policy as plane_sweep)
     prec = "default" if use_bf16 else "highest"
-    NB = win_min_b.shape[0]
-    nb2s = []
-    ails, rgbs, depths = [], [], []
-    for b0 in range(0, Tp, tb):
-        sl = slice(b0, b0 + tb)
-        with jax.default_matmul_precision(prec):
-            s_blk, t_start, ail, l_blocks = _phase1(
-                cfg, vol1, mask_vol, start_p[sl], unit_p[sl], n_per_p[sl],
-                hit_p[sl], win_p[:, sl], stepdist=float(stepdist),
-                interval=float(interval), block=block, brick=brick,
-                mask_mode=mask_mode, mask_brick=mask_brick, use_bf16=use_bf16)
-        nb2 = int(l_blocks)  # ONE scalar through the link per band
-        ails.append(ail)
-        if nb2 == 0:  # nothing survives in this band: pure background
-            rgbs.append(jnp.zeros((tb, ail.shape[1], 3), jnp.float32))
-            depths.append(jnp.zeros((tb, ail.shape[1]), jnp.float32))
-            nb2s.append(0)
-            continue
-        # quantize the recompile knob (few distinct nb2 values per scene)
-        nb2 = min(_round_up(nb2, 4), NB)
-        nb2s.append(nb2)
-        # pad block windows so per-tile windows may run past K (steps masked)
-        win_band = win_p[:, sl]
-        pad_b = jnp.repeat(win_band[-1:], nb2, axis=0)
-        win_min_pad = jnp.concatenate([win_band, pad_b], axis=0)
-        with jax.default_matmul_precision(prec):
-            rgb_acc, depth_acc = _phase2(
-                cfg, vol2, mask_vol, params.get("rgbnet"), start_p[sl],
-                unit_p[sl], n_per_p[sl], hit_p[sl], vdir_p[sl], win_min_pad,
-                s_blk, t_start, ail, stepdist=float(stepdist),
-                interval=float(interval), block=block, brick=brick,
-                mask_mode=mask_mode, mask_brick=mask_brick, nb2=nb2,
-                use_bf16=use_bf16, has_mlp=has_mlp)
-        rgbs.append(rgb_acc)
-        depths.append(depth_acc)
-
-    ail = jnp.concatenate(ails, axis=0)[:T_all]
-    rgb_acc = jnp.concatenate(rgbs, axis=0)[:T_all]
-    depth_acc = jnp.concatenate(depths, axis=0)[:T_all]
-    _mark("phase2", rgb_acc)
+    with jax.default_matmul_precision(prec):
+        rgb, depth, ail = _sweep(
+            cfg, params, buffers, start_p, unit_p, n_per, vdir_emb, z0, dz,
+            kmax, wmin, stepsize=float(stepsize), S=S, Pu=Pu, Pv=Pv,
+            axis=axis, flip=flip, use_bf16=use_bf16, mask_mode=mask_mode,
+            mask_ch=mask_ch, mPu=mPu, mPv=mPv, Wm=Wm, bg=float(bg),
+            ablate=_ablate)
+    _mark("sweep", rgb)
     if timers is not None:
-        timers["plan"] = (tile, brick, mask_mode, mask_brick, tuple(nb2s))
+        timers["plan"] = (tile, axis, flip, S, Pu, Pv, mask_mode)
 
     ph, pw = (-H) % tile, (-W) % tile
     nty, ntx = (H + ph) // tile, (W + pw) // tile
@@ -589,11 +527,11 @@ def render_frame_box(cfg, params, buffers, H: int, W: int, Kc, c2w, *,
         x = x.reshape(nty, ntx, tile, tile, c).transpose(0, 2, 1, 3, 4)
         return x.reshape(nty * tile, ntx * tile, c)[:H, :W]
 
-    rgbm = untile(rgb_acc)
+    rgbm = untile(rgb)
     ailm = untile(ail)[..., 0]
     return {
-        "rgb_marched": rgbm + ailm[..., None] * bg,
-        "rgb_feature": rgbm,
-        "depth": untile(depth_acc)[..., 0],
+        "rgb_marched": rgbm,
+        "rgb_feature": rgbm - ailm[..., None] * bg,
+        "depth": untile(depth)[..., 0],
         "alphainv_last": ailm,
     }

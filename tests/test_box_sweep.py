@@ -112,6 +112,31 @@ def test_box_sweep_oblique_camera():
                                ref["rgb_marched"], atol=2e-5)
 
 
+@pytest.mark.parametrize("angle", [
+    (0.0, 0.0),    # -z approach
+    (0.0, np.pi),  # +z approach (flipped sweep)
+    (0.0, 0.5 * np.pi),   # x-major
+    (0.0, -0.5 * np.pi),  # x-major, other sign
+    (0.5 * np.pi, 0.0),   # y-major
+    (-0.5 * np.pi, 0.2),  # y-major, other sign
+])
+def test_box_sweep_every_axis(angle):
+    """Each world axis (both signs) as the sweep's major axis."""
+    rng = np.random.default_rng(13)
+    cfg, params, buffers = _scene(rng)
+    H, W = 16, 24
+    K, c2w = _camera(H, W, dist=2.8, angle=angle)
+    ref = _chunked(cfg, params, buffers, H, W, K, c2w,
+                   stepsize=0.5, near=0.2, bg=0.3)
+    out = box_sweep.render_frame_box(
+        cfg, params, buffers, H, W, K, c2w, stepsize=0.5, near=0.2, bg=0.3,
+        use_bf16=False, tile=8)
+    np.testing.assert_allclose(np.asarray(out["rgb_marched"]),
+                               ref["rgb_marched"], atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out["alphainv_last"]),
+                               ref["alphainv_last"], atol=3e-5)
+
+
 def test_box_sweep_empty_scene_background():
     """All-masked scene: pure background frame, alphainv == 1."""
     rng = np.random.default_rng(5)

@@ -19,7 +19,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tile", type=int, default=16)
-    ap.add_argument("--block", type=int, default=4)
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--hw", type=int, default=800)
     ap.add_argument("--grid", type=int, default=160)
@@ -81,7 +80,7 @@ def main():
         out = box_sweep.render_frame_box(
             cfg, params, buffers, H, W, Kc, c2w, stepsize=0.5, near=0.2,
             bg=1.0, use_bf16=bool(args.bf16), tile=args.tile,
-            block=args.block, timers=timers)
+            timers=timers)
         # 1-element fetch forces completion without pulling the frame
         return float(np.asarray(out["rgb_marched"][0, 0, 0])), out
 
@@ -97,13 +96,13 @@ def main():
         times.append(dt)
         print(f"frame {i}: {dt * 1000:.0f} ms")
     print(f"box sweep: median {np.median(times) * 1000:.0f} ms/frame "
-          f"(tile={args.tile} block={args.block} bf16={args.bf16})")
+          f"(tile={args.tile} bf16={args.bf16})")
     tm = {}
     run(pose(0.33), timers=tm)
     ts = {k: v[0] for k, v in tm.items() if k != "plan"}
     print("plan:", tm.get("plan"))
     print({k: f"{(ts[k] - ts[p]) * 1000:.0f} ms" for k, p in
-           (("prep", "t0"), ("phase2", "prep")) if k in ts and p in ts})
+           (("prep", "t0"), ("sweep", "prep")) if k in ts and p in ts})
 
     if args.chunked:
         from fourk_nerf_tpu.ops import rays as ray_ops
