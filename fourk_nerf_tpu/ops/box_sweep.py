@@ -473,7 +473,7 @@ def render_frame_box(cfg, params, buffers, H: int, W: int, Kc, c2w, *,
         raise ValueError(
             f"box sweep: no dominant axis (min grid advance {mdz:.4f}/step)")
     S = int(np.ceil(1.0 / mdz)) + 2
-    S += S % 2  # quantize: fewer distinct compiles across an orbit's poses
+    S = -(-S // 4) * 4  # quantize: one compile covers a band of orbit poses
     flip = bool(sgn[axis] < 0)
     p = _perm(axis)
     Z, U, V = [cfg.world_size[i] for i in p]

@@ -333,17 +333,35 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
             use_bf16=(gt_imgs is None),
         )
 
+    box_pallas_ok = [True]  # sticky: stop retrying after the first failure
+
     def box_frame(H, W, K_i, c2w):
-        from fourk_nerf_tpu.ops import box_sweep
+        from fourk_nerf_tpu.ops import box_sweep, pallas_box
 
         # metrics (gt present) computed with the f32 sweep; bf16 is the
         # metric-free speed mode (same policy as the NDC sweep)
+        kw = dict(stepsize=rk["stepsize"], near=rk["near"], bg=rk["bg"],
+                  inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+                  flip_y=cfg.data.flip_y, use_bf16=(gt_imgs is None))
+        if gt_imgs is None and box_pallas_ok[0]:
+            # metric-free rendering: the fused Pallas slab kernel with
+            # occupancy-interval + saturation skipping (~2x the XLA sweep)
+            try:
+                return pallas_box.render_frame_box_pallas(
+                    model_cfg, params, buffers, H, W, K_i, c2w, **kw)
+            except ValueError as e:
+                if "dominant axis" in str(e):
+                    raise  # per-frame guard; the XLA sweep refuses too
+                # kernel-only limits (native-res mask, window size): the
+                # XLA sweep still applies -- stop retrying the kernel
+                box_pallas_ok[0] = False
+                print(f"pallas box kernel unavailable ({e}); XLA slab sweep")
+            except Exception as e:  # Mosaic/layout trouble: XLA sweep
+                box_pallas_ok[0] = False
+                print(f"pallas box kernel unavailable ({type(e).__name__}: "
+                      f"{e}); using XLA slab sweep")
         return box_sweep.render_frame_box(
-            model_cfg, params, buffers, H, W, K_i, c2w,
-            stepsize=rk["stepsize"], near=rk["near"], bg=rk["bg"],
-            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
-            flip_y=cfg.data.flip_y, use_bf16=(gt_imgs is None),
-        )
+            model_cfg, params, buffers, H, W, K_i, c2w, **kw)
 
     @jax.jit
     def fwd(ro, rd, vd):

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--bf16", type=int, default=1)
     ap.add_argument("--chunked", action="store_true",
                     help="also time the chunked-gather path (slow!)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fused Pallas slab kernel (ops/pallas_box)")
+    ap.add_argument("--parity", action="store_true",
+                    help="f32 Pallas kernel vs f32 XLA sweep on this chip")
     args = ap.parse_args()
 
     import jax
@@ -76,11 +80,15 @@ def main():
         c2w[:3, 3] = R @ np.array([0, 0, 4.0], np.float32)
         return c2w
 
-    def run(c2w, timers=None):
-        out = box_sweep.render_frame_box(
-            cfg, params, buffers, H, W, Kc, c2w, stepsize=0.5, near=0.2,
-            bg=1.0, use_bf16=bool(args.bf16), tile=args.tile,
-            timers=timers)
+    if args.pallas:
+        from fourk_nerf_tpu.ops import pallas_box
+
+    def run(c2w, timers=None, use_bf16=None):
+        ub = bool(args.bf16) if use_bf16 is None else use_bf16
+        fn = (pallas_box.render_frame_box_pallas if args.pallas
+              else box_sweep.render_frame_box)
+        out = fn(cfg, params, buffers, H, W, Kc, c2w, stepsize=0.5, near=0.2,
+                 bg=1.0, use_bf16=ub, tile=args.tile, timers=timers)
         # 1-element fetch forces completion without pulling the frame
         return float(np.asarray(out["rgb_marched"][0, 0, 0])), out
 
@@ -103,6 +111,20 @@ def main():
     print("plan:", tm.get("plan"))
     print({k: f"{(ts[k] - ts[p]) * 1000:.0f} ms" for k, p in
            (("prep", "t0"), ("sweep", "prep")) if k in ts and p in ts})
+
+    if args.parity:
+        from fourk_nerf_tpu.ops import pallas_box as pb
+        c2w = pose(0.27)
+        a = pb.render_frame_box_pallas(
+            cfg, params, buffers, H, W, Kc, c2w, stepsize=0.5, near=0.2,
+            bg=1.0, use_bf16=False, tile=args.tile)
+        b = box_sweep.render_frame_box(
+            cfg, params, buffers, H, W, Kc, c2w, stepsize=0.5, near=0.2,
+            bg=1.0, use_bf16=False, tile=args.tile)
+        err = float(np.abs(np.asarray(a["rgb_marched"])
+                           - np.asarray(b["rgb_marched"])).max())
+        print(f"on-chip f32 parity kernel-vs-XLA: max|err| {err:.2e}")
+        assert err < 5e-4, err
 
     if args.chunked:
         from fourk_nerf_tpu.ops import rays as ray_ops
