@@ -323,6 +323,65 @@ def tile_process(apply_fn, params, img, cond, tile_size: int, tile_pad: int = 10
     return out[None]
 
 
+def tile_process_sharded(apply_fn, params, img, cond, tile_size: int,
+                         mesh, tile_pad: int = 10, scale: int = 4,
+                         axis: str = "data"):
+    """Multi-chip :func:`tile_process`: the tile batch is data-parallel over
+    ``mesh``'s ``axis`` (SURVEY.md section 2.3's 4K tile-scaling plan;
+    reference single-GPU loop lib/sr_esrnet.py:467-527).  Tiles are
+    independent -- the overlap halo is baked into each padded tile, so the
+    only collective is the output all-gather XLA inserts for the paste.
+    Exactly equal to the single-device path (tests/test_parallel.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    _, H, W, C = img.shape
+    ts, tp = tile_size, tile_pad
+    ny, nx = math.ceil(H / ts), math.ceil(W / ts)
+    padded_h, padded_w = ny * ts + 2 * tp, nx * ts + 2 * tp
+    img_p = jnp.pad(img, ((0, 0), (tp, padded_h - H - tp),
+                          (tp, padded_w - W - tp), (0, 0)), mode="edge")
+    cond_p = jnp.pad(cond, ((0, 0), (tp, padded_h - H - tp),
+                            (tp, padded_w - W - tp), (0, 0)), mode="edge")
+    starts = [(y * ts, x * ts) for y in range(ny) for x in range(nx)]
+    cut = lambda src, c: jnp.stack([
+        jax.lax.dynamic_slice(src[0], (sy, sx, 0),
+                              (ts + 2 * tp, ts + 2 * tp, c))
+        for sy, sx in starts])
+    tiles = cut(img_p, C)
+    cond_tiles = cut(cond_p, cond.shape[-1])
+
+    D = mesh.shape[axis]
+    nt = len(starts)
+    padn = (-nt) % D
+    if padn:  # round the tile count up to the axis size (extras discarded)
+        tiles = jnp.concatenate([tiles, tiles[:padn]])
+        cond_tiles = jnp.concatenate([cond_tiles, cond_tiles[:padn]])
+
+    def shard_fwd(t, ct):
+        def one(carry, inp):
+            tt, c2 = inp
+            sr = apply_fn(params, tt[None], c2[None])[0]
+            core = sr[tp * scale:(tp + ts) * scale,
+                      tp * scale:(tp + ts) * scale]
+            return carry, core
+
+        _, cores = jax.lax.scan(one, None, (t, ct))
+        return cores
+
+    sharded = NamedSharding(mesh, P(axis))
+    with mesh:
+        cores = shard_map(
+            shard_fwd, mesh=mesh, in_specs=(P(axis), P(axis)),
+            out_specs=P(axis), check_rep=False,
+        )(jax.device_put(tiles, sharded), jax.device_put(cond_tiles, sharded))
+    cores = cores[:nt]
+    hs = ts * scale
+    out = (cores.reshape(ny, nx, hs, hs, 3).transpose(0, 2, 1, 3, 4)
+           .reshape(ny * hs, nx * hs, 3)[: H * scale, : W * scale])
+    return out[None]
+
+
 def apply_bf16(sr_model, params, x, cond):
     """bf16 SR inference: casts params + activations to bfloat16 for ~2x MXU
     conv throughput; returns f32. Accuracy vs the f32 path is quantified in

@@ -15,8 +15,12 @@ from fourk_nerf_tpu.ops import rays as ray_ops
 
 import sys
 BASE = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_ds/llff/scene"
-H, W, F = 24, 32, 30.0
-N = 4
+# MED_LLFF=1: larger scene for the convergence-curve artifact (see
+# med_llff_sr_cfg.py); default stays the tiny CPU-drive size
+import os as _os
+_MED = _os.environ.get("MED_LLFF") == "1"
+H, W, F = (64, 80, 90.0) if _MED else (24, 32, 30.0)
+N = 8 if _MED else 4
 
 os.makedirs(os.path.join(BASE, "images"), exist_ok=True)
 
@@ -31,10 +35,15 @@ c2ws = np.stack(c2ws)
 
 cfg_t = dmpigo.make_config(
     xyz_min=[-2.0, -2.0, -1.0], xyz_max=[2.0, 2.0, 1.0],
-    num_voxels=48 * 48 * 16, mpi_depth=16, rgbnet_dim=0)
+    num_voxels=(96 * 96 * 32 if _MED else 48 * 48 * 16),
+    mpi_depth=32 if _MED else 16, rgbnet_dim=0)
 params_t, buffers_t = dmpigo.init(cfg_t, jax.random.PRNGKey(0))
 rng = np.random.default_rng(0)
-params_t["density"] = jnp.asarray(rng.normal(0, 2, params_t["density"].shape).astype(np.float32))
+dens = rng.normal(0, 2, params_t["density"].shape).astype(np.float32)
+if _MED:  # smooth blobs: content with actual spatial structure
+    from scipy.ndimage import gaussian_filter
+    dens = gaussian_filter(dens, sigma=(3, 3, 1.5, 0)) * 6.0
+params_t["density"] = jnp.asarray(dens)
 params_t["k0"] = jnp.asarray(rng.normal(0, 1, params_t["k0"].shape).astype(np.float32))
 
 import imageio.v2 as imageio
