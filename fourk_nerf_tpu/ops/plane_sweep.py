@@ -302,6 +302,79 @@ def sweep_patch_train(cfg, params, buffers, rays_o, rays_d, viewdirs, *,
     }
 
 
+def sweep_window_origin(a, b, Z: int, X: int, Y: int, window: int):
+    """Origin of the static-size grid window covering a ray patch's UNION
+    footprint over all Z planes (pos(k) = a + b*k is affine in k, so the
+    union extremes sit at k = 0 and k = Z-1).  Returns (ox, oy) int32
+    scalars, clipped so the window stays inside the [X, Y] grid."""
+    p1 = a + b * (Z - 1)
+    mn = jnp.minimum(a.reshape(-1, 2).min(0), p1.reshape(-1, 2).min(0))
+    ox = jnp.clip(jnp.floor(mn[0]).astype(jnp.int32) - 1, 0, X - window)
+    oy = jnp.clip(jnp.floor(mn[1]).astype(jnp.int32) - 1, 0, Y - window)
+    return ox, oy
+
+
+def sweep_patch_train_win(cfg, win_params, win_buffers, a, b, viewdirs, *,
+                          origin, interval: float, patch: int, bg: float,
+                          key=None, rand_bkgd: bool = False,
+                          is_train: bool = True, use_bf16: bool = True):
+    """Windowed variant of :func:`sweep_patch_train` for the joint G-step's
+    footprint-window optimization (ROADMAP round-3: the full-grid pack +
+    full-grid Adam stream dominates the 141 ms step at fern scale).
+
+    ``win_params`` holds only the patch's static-size grid window
+    (density/k0 ``[W,W,Z,*]`` sliced at ``origin`` by the caller, OUTSIDE
+    the grad computation, so gradients are window-shaped) plus the full
+    rgbnet.  ``win_buffers``: act_shift (full, per-plane) and mask_cache
+    (windowed identically when mask res == grid res, else full).  ``a, b``
+    stay GLOBAL affine coefficients; ``origin = (ox, oy)`` int32.
+
+    Bit-identical to the full-grid path: the per-plane slice origins shift
+    by the integer window origin, so the hat-weight taps hit the same
+    voxels in the same order; out-of-window taps had exactly-zero hat
+    weight in the full path too (window sized to the union footprint via
+    ``sweep_window_size_for``)."""
+    X, Y, Z = cfg.world_size  # GLOBAL extents
+    ox, oy = origin
+    origin_f = jnp.stack([ox, oy]).astype(a.dtype)
+
+    packed, act_shift, mask_info = pack_grids(cfg, win_params, win_buffers)
+    mode, mask_val = mask_info
+    if mode != "channel":
+        raise NotImplementedError(
+            "windowed G-step requires channel-mode mask (mask res == grid "
+            "res); caller must fall back to sweep_patch_train")
+    act = common.activation(cfg.act_type)
+    w_t, t_cum_t, feat_t, raw_t = sweep_all_tiles_train(
+        packed, act_shift, None, a[None], b[None], viewdirs[None],
+        win_params["rgbnet"], cfg=cfg, interval=interval, patch=patch,
+        k0_dim=cfg.k0_dim, act=act, msx=1.0, msy=1.0, mpatch=8,
+        use_bf16=use_bf16, mask_ch=mask_val,
+        origin=origin_f, bounds=(X, Y),
+    )
+    weights, raw_rgb, t_cum, rgb_feature = w_t[0], raw_t[0], t_cum_t[0], feat_t[0]
+    R = a.shape[0]
+    if rand_bkgd and is_train:
+        assert key is not None
+        noise = jax.random.uniform(key, (R, 3), dtype=rgb_feature.dtype)
+        rgb_marched = rgb_feature + t_cum[:, None] * noise
+    else:
+        rgb_marched = rgb_feature + t_cum[:, None] * bg
+    s = jnp.broadcast_to(
+        ((jnp.arange(Z, dtype=jnp.float32) + 0.5) / Z)[None, :], (R, Z)
+    )
+    return {
+        "alphainv_last": t_cum,
+        "weights": weights,
+        "rgb_marched": rgb_marched,
+        "rgb_feature": rgb_feature,
+        "raw_rgb": raw_rgb,
+        "n_max": Z,
+        "s": s,
+        "depth": jax.lax.stop_gradient(jnp.sum(weights * s, axis=-1)),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interval", "patch", "use_bf16"))
 def _sweep_patch_jit(cfg, params, buffers, a, b, viewdirs, *, interval: float,
                      patch: int, use_bf16: bool):
@@ -338,10 +411,21 @@ def sweep_all_tiles_train(packed, act_shift, mask_planes, a_tiles, b_tiles,
                           vd_tiles, mlp_params, *, cfg, interval, patch: int,
                           k0_dim: int, act, msx: float, msy: float,
                           mpatch: int, use_bf16: bool = True,
-                          mask_ch: int | None = None):
+                          mask_ch: int | None = None, origin=None,
+                          bounds=None):
     """Like :func:`sweep_all_tiles` but additionally emits per-sample weights
-    and raw rgb ([T, R, Z] / [T, R, Z, 3]) for the training losses."""
+    and raw rgb ([T, R, Z] / [T, R, Z, 3]) for the training losses.
+
+    ``origin``/``bounds`` enable WINDOWED operation (the joint G-step's
+    footprint-window optimization): ``packed`` is then only the patch's
+    static-size grid window sliced at ``origin`` ([2] float, grid units)
+    out of a global grid of extent ``bounds=(X_glob, Y_glob)``.  Ray
+    positions stay in GLOBAL grid units for the in-bounds test, spatial PE
+    and the (native-mode) mask lookup; only the slice/hat-weight taps are
+    shifted into window coordinates.  With ``origin=None`` behavior is
+    bit-identical to the full-grid path."""
     Z, X, Y, Cp = packed.shape
+    Xg, Yg = bounds if bounds is not None else (X, Y)
     if mask_ch is None:
         mX, mY = mask_planes.shape[1:]
     else:
@@ -375,17 +459,18 @@ def sweep_all_tiles_train(packed, act_shift, mask_planes, a_tiles, b_tiles,
     def body(carry, inp):
         t_cum, alive = carry
         plane, shift_k, k, mplane = inp
-        pos = a_tiles + b_tiles * k
-        ox = jnp.clip(jnp.floor(jnp.min(pos[..., 0], axis=1)).astype(jnp.int32) - 1,
+        pos = a_tiles + b_tiles * k          # GLOBAL grid units
+        pos_loc = pos if origin is None else pos - origin
+        ox = jnp.clip(jnp.floor(jnp.min(pos_loc[..., 0], axis=1)).astype(jnp.int32) - 1,
                       0, X - patch)
-        oy = jnp.clip(jnp.floor(jnp.min(pos[..., 1], axis=1)).astype(jnp.int32) - 1,
+        oy = jnp.clip(jnp.floor(jnp.min(pos_loc[..., 1], axis=1)).astype(jnp.int32) - 1,
                       0, Y - patch)
         patches = jax.vmap(
             lambda x0, y0: jax.lax.dynamic_slice(plane, (x0, y0, 0), (patch, patch, Cp))
         )(ox, oy)
         taps = jnp.arange(patch, dtype=pos.dtype)
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs((pos[..., 0] - ox[:, None].astype(pos.dtype))[..., None] - taps))
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs((pos[..., 1] - oy[:, None].astype(pos.dtype))[..., None] - taps))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs((pos_loc[..., 0] - ox[:, None].astype(pos.dtype))[..., None] - taps))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs((pos_loc[..., 1] - oy[:, None].astype(pos.dtype))[..., None] - taps))
         tmp = jnp.einsum("trp,tpqc->trqc", wx.astype(mm_dtype), patches.astype(mm_dtype),
                          preferred_element_type=jnp.float32)
         samp = jnp.einsum("trq,trqc->trc", wy, tmp)
@@ -400,8 +485,8 @@ def sweep_all_tiles_train(packed, act_shift, mask_planes, a_tiles, b_tiles,
         feat = samp[..., 1:1 + k0_dim]
         alpha = render.raw2alpha(density, shift_k, interval)
         inb = (
-            (pos[..., 0] >= 0) & (pos[..., 0] <= X - 1)
-            & (pos[..., 1] >= 0) & (pos[..., 1] <= Y - 1)
+            (pos[..., 0] >= 0) & (pos[..., 0] <= Xg - 1)
+            & (pos[..., 1] >= 0) & (pos[..., 1] <= Yg - 1)
         )
         alpha = jnp.where(inb & (mval > 0.5), alpha, 0.0)
         if cfg.fast_color_thres > 0:
@@ -410,8 +495,8 @@ def sweep_all_tiles_train(packed, act_shift, mask_planes, a_tiles, b_tiles,
 
         pe_spa = jnp.stack([
             jnp.full((T, R), 2.0 * k / (Z - 1) - 1.0, dtype=samp.dtype),
-            pos[..., 1] / (Y - 1) * 2.0 - 1.0,
-            pos[..., 0] / (X - 1) * 2.0 - 1.0,
+            pos[..., 1] / (Yg - 1) * 2.0 - 1.0,
+            pos[..., 0] / (Xg - 1) * 2.0 - 1.0,
         ], axis=-1)
         pe_emb = ray_ops.positional_encoding(pe_spa, cfg.spatial_pe)
         rgb_feat = jnp.concatenate([feat, pe_emb, viewdir_emb], axis=-1)

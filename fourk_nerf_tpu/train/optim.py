@@ -39,7 +39,8 @@ def init_state(params: Any) -> dict:
 
 def apply_updates(params: dict, grads: dict, state: dict, lrs: dict,
                   skip_zero_grad: frozenset = frozenset(),
-                  per_lr: dict | None = None):
+                  per_lr: dict | None = None,
+                  windows: dict | None = None):
     """One MaskedAdam step over a two-level params dict.
 
     Args:
@@ -48,6 +49,14 @@ def apply_updates(params: dict, grads: dict, state: dict, lrs: dict,
         are frozen (reference: lr<=0 => requires_grad=False).
       skip_zero_grad: group names using the masked update (static).
       per_lr: optional ``{group_name: array}`` element-wise lr scaling.
+      windows: optional ``{group_name: (origins...)}`` WINDOWED update: the
+        grad for that group is a static-size window of the full param array
+        (leading dims sliced at the given traced integer origins, remaining
+        dims full) and is identically zero outside it, so only the window's
+        param/moment entries are read, updated and written back
+        (dynamic_slice + dynamic_update_slice).  Exactly equivalent to the
+        full masked update when the group is in ``skip_zero_grad``: outside
+        the window grad == 0 and the masked update leaves p/m/v untouched.
 
     Returns (new_params, new_state).
     """
@@ -96,6 +105,17 @@ def apply_updates(params: dict, grads: dict, state: dict, lrs: dict,
             new_params[name] = jax.tree.unflatten(treedef, [o[0] for o in outs])
             new_m[name] = jax.tree.unflatten(treedef, [o[1] for o in outs])
             new_v[name] = jax.tree.unflatten(treedef, [o[2] for o in outs])
+        elif windows and name in windows:
+            assert plr is None, "windowed update does not support per_lr"
+            assert masked, "windowed update requires skip_zero_grad semantics"
+            start = tuple(windows[name]) + (0,) * (p.ndim - len(windows[name]))
+            p_win = jax.lax.dynamic_slice(p, start, g.shape)
+            m_win = jax.lax.dynamic_slice(m, start, g.shape)
+            v_win = jax.lax.dynamic_slice(v, start, g.shape)
+            np_w, nm_w, nv_w = upd(p_win, g, m_win, v_win)
+            new_params[name] = jax.lax.dynamic_update_slice(p, np_w, start)
+            new_m[name] = jax.lax.dynamic_update_slice(m, nm_w, start)
+            new_v[name] = jax.lax.dynamic_update_slice(v, nv_w, start)
         else:
             plr_leaf = plr if (plr is not None and plr.shape == p.shape) else None
             new_params[name], new_m[name], new_v[name] = upd(p, g, m, v, plr_leaf)

@@ -88,11 +88,38 @@ def sweep_patch_size_for(model_cfg, a_all, b_all, rows, cols, patch_px: int):
     return max(size, 16)
 
 
+def sweep_window_size_for(model_cfg, a_all, b_all, rows, cols, patch_px: int,
+                          sweep_patch: int):
+    """Static grid-window size covering the UNION footprint of any sampler
+    patch across ALL Z planes, for the windowed joint G-step (the grid is
+    sliced ONCE per step; gradients and the Adam update touch only the
+    window).  pos(k) = a + b*k is affine in k, so the union over k is the
+    hull of the k=0 and k=Z-1 extremes.  Per-plane slices of size
+    ``sweep_patch`` must fit inside, so the result is >= sweep_patch;
+    None when the window would not fit the grid (fall back to the
+    full-grid step).  a_all/b_all: [V,H,W,2] numpy."""
+    Z = model_cfg.world_size[2]
+    p1 = a_all + b_all * float(Z - 1)
+    spread = 0.0
+    for r in rows:
+        for c in cols:
+            b0 = a_all[:, r:r + patch_px, c:c + patch_px].reshape(len(a_all), -1, 2)
+            b1 = p1[:, r:r + patch_px, c:c + patch_px].reshape(len(p1), -1, 2)
+            mn = np.minimum(b0.min(1), b1.min(1))
+            mx = np.maximum(b0.max(1), b1.max(1))
+            spread = max(spread, float((mx - mn).max()))
+    size = int(np.ceil((spread + 4) / 8.0) * 8)
+    size = max(size, int(sweep_patch), 16)
+    if size > min(model_cfg.world_size[0], model_cfg.world_size[1]):
+        return None
+    return size
+
+
 def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwargs,
                        skip_zero_grad, sr_model, d_model, n_views: int,
                        patch: int, sr_ratio: int, perceptual=None,
                        d_kind: str = "Unet", sweep_patch: int | None = None,
-                       donate: bool = True):
+                       grid_window: int | None = None, donate: bool = True):
     weight_tv_density = float(cfg_train.weight_tv_density)
     weight_tv_k0 = float(cfg_train.weight_tv_k0)
     use_gan = cfg_train.get("weight_gan", 0) > 0
@@ -143,8 +170,57 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
         pr = pc = patch
         cond_d = d_cond(viewdirs, w2c) if use_gan else None
 
+        # Footprint-window G-step (ROADMAP round-3 joint-step lever): the
+        # full-grid pack + full-grid Adam stream dominates the fern-scale
+        # step; a 64px patch only ever reads/writes a static-size xy window
+        # of the grid.  Slice the window OUTSIDE the grad so gradients are
+        # window-shaped, and let MaskedAdam update only the window -- exact
+        # under skip_zero_grad semantics (outside the window grad == 0 and
+        # the masked update leaves p/m/v untouched).  TV grads are
+        # full-grid, so the full path serves apply_tv steps.
+        use_window = (
+            grid_window is not None and sweep_patch is not None
+            and not apply_tv
+            and {"density", "k0"} <= set(skip_zero_grad)
+            and tuple(buffers["mask_cache"].shape)
+            == tuple(enc_params["density"].shape[:3])
+        )
+        if use_window:
+            from fourk_nerf_tpu.ops import plane_sweep
+
+            Xg, Yg, Zg = model_cfg.world_size
+            a_g, b_g = plane_sweep._affine_coeffs(
+                rays_o, rays_d, jnp.asarray(model_cfg.xyz_min),
+                jnp.asarray(model_cfg.xyz_max),
+                jnp.asarray([Xg, Yg], jnp.float32), Zg)
+            wox, woy = plane_sweep.sweep_window_origin(
+                a_g, b_g, Zg, Xg, Yg, grid_window)
+            gw = grid_window
+            win_enc = {k: v for k, v in enc_params.items()
+                       if k not in ("density", "k0")}
+            for k_ in ("density", "k0"):
+                win_enc[k_] = jax.lax.dynamic_slice(
+                    enc_params[k_], (wox, woy, 0, 0),
+                    (gw, gw) + enc_params[k_].shape[2:])
+            win_buffers = {
+                "act_shift": buffers["act_shift"],
+                "mask_cache": jax.lax.dynamic_slice(
+                    buffers["mask_cache"], (wox, woy, 0),
+                    (gw, gw, buffers["mask_cache"].shape[2])),
+            }
+
         def g_loss_fn(ep, sp):
-            if sweep_patch is not None:
+            if use_window:
+                from fourk_nerf_tpu.ops import plane_sweep
+
+                out = plane_sweep.sweep_patch_train_win(
+                    model_cfg, ep, win_buffers, a_g, b_g, viewdirs,
+                    origin=(wox, woy),
+                    interval=float(rk["stepsize"] * model_cfg.voxel_size_ratio),
+                    patch=sweep_patch, bg=rk["bg"], key=key,
+                    rand_bkgd=rand_bkgd, is_train=True,
+                )
+            elif sweep_patch is not None:
                 from fourk_nerf_tpu.ops import plane_sweep
 
                 out = plane_sweep.sweep_patch_train(
@@ -211,7 +287,7 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
 
         (loss, (terms, psnr_sr, rgb_sr, rgb_hr)), (enc_grads, sr_grads) = jax.value_and_grad(
             g_loss_fn, argnums=(0, 1), has_aux=True
-        )(enc_params, sr_params)
+        )(win_enc if use_window else enc_params, sr_params)
 
         if apply_tv:
             # NOTE: the joint driver scales TV by the VIEW count, not the ray
@@ -226,7 +302,8 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
                 )}
 
         new_enc, new_enc_opt = optim.apply_updates(
-            enc_params, enc_grads, enc_opt, lrs["enc"], skip_zero_grad=skip_zero_grad
+            enc_params, enc_grads, enc_opt, lrs["enc"], skip_zero_grad=skip_zero_grad,
+            windows={"density": (wox, woy), "k0": (wox, woy)} if use_window else None,
         )
         new_sr, new_sr_opt = optim.apply_updates(
             {"srnet": sr_params}, {"srnet": sr_grads}, sr_opt, {"srnet": lrs["srnet"]}
@@ -486,12 +563,13 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
     sample_patch = make_patch_sampler(V, H, W, patch, seed, inmask=inmask)
 
     def compute_sweep_patch(mcfg):
-        """Safe plane-sweep slice size for the CURRENT grid resolution, or
-        None when the patch footprint no longer fits (pg_scale doubles
-        world_size, so this MUST be re-derived at every boundary -- a stale
-        size makes the hat weights silently read zeros)."""
+        """Safe plane-sweep slice size AND grid-window size for the CURRENT
+        grid resolution (either may be None when the footprint no longer
+        fits; pg_scale doubles world_size, so both MUST be re-derived at
+        every boundary -- a stale size makes the hat weights silently read
+        zeros)."""
         if not (render_kwargs.get("ndc_planes") and model_mod is dmpigo):
-            return None
+            return None, None
         X, Y, Z = mcfg.world_size
         sizes = np.array([X, Y], dtype=np.float32)
         mn = np.asarray(mcfg.xyz_min, dtype=np.float32)
@@ -501,12 +579,15 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         rows = sorted({min(r, H - patch) for r in range(0, H, patch)})
         cols = sorted({min(c, W - patch) for c in range(0, W, patch)})
         sp = sweep_patch_size_for(mcfg, a_all, b_all, rows, cols, patch)
+        gw = (sweep_window_size_for(mcfg, a_all, b_all, rows, cols, patch, sp)
+              if sp is not None else None)
         print(f"sr: plane-sweep patch rendering "
               f"{'ON (slice ' + str(sp) + ')' if sp else 'OFF (footprint too large)'}"
+              f"{', grid window ' + str(gw) if gw else ''}"
               f" at world_size {tuple(mcfg.world_size)}")
-        return sp
+        return sp, gw
 
-    sweep_patch = compute_sweep_patch(model_cfg)
+    sweep_patch, grid_window = compute_sweep_patch(model_cfg)
 
     # --- optimizers ---------------------------------------------------------
     base_lrs = optim.build_group_lrs(cfg_train, params)
@@ -527,7 +608,7 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         model_mod, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
         skip_zero_grad=skip_zero, sr_model=sr_model, d_model=d_model,
         n_views=V, patch=patch, sr_ratio=sr_ratio, perceptual=perceptual,
-        d_kind=d_kind, sweep_patch=sweep_patch,
+        d_kind=d_kind, sweep_patch=sweep_patch, grid_window=grid_window,
     )
 
     w2c_all = np.asarray(data_dict.get("w2c", np.zeros((len(data_dict["poses"]), 3, 3))))
@@ -576,12 +657,12 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
             steps_since_reset = 0
             # the grid just doubled: a stale sweep-patch size would make the
             # hat weights silently read zeros -- re-derive (or drop the sweep)
-            sweep_patch = compute_sweep_patch(model_cfg)
+            sweep_patch, grid_window = compute_sweep_patch(model_cfg)
             train_step = make_sr_train_step(
                 model_mod, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
                 skip_zero_grad=skip_zero, sr_model=sr_model, d_model=d_model,
                 n_views=V, patch=patch, sr_ratio=sr_ratio, perceptual=perceptual,
-                d_kind=d_kind, sweep_patch=sweep_patch,
+                d_kind=d_kind, sweep_patch=sweep_patch, grid_window=grid_window,
             )
 
         v, r, c = sample_patch(global_step - 1)

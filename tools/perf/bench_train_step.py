@@ -72,18 +72,22 @@ def main():
         jnp.asarray(model_cfg.xyz_min), jnp.asarray(model_cfg.xyz_max),
         jnp.asarray([model_cfg.world_size[0], model_cfg.world_size[1]],
                     jnp.float32), model_cfg.world_size[2])
+    a_all = np.asarray(a).reshape(1, patch, patch, 2)
+    b_all = np.asarray(b).reshape(1, patch, patch, 2)
     sp = sr_trainer.sweep_patch_size_for(
-        model_cfg, np.asarray(a).reshape(1, patch, patch, 2),
-        np.asarray(b).reshape(1, patch, patch, 2), np.array([0]),
-        np.array([0]), patch)
-    print("sweep_patch:", sp, flush=True)
+        model_cfg, a_all, b_all, np.array([0]), np.array([0]), patch)
+    gw = sr_trainer.sweep_window_size_for(
+        model_cfg, a_all, b_all, np.array([0]), np.array([0]), patch, sp)
+    print(f"sweep_patch: {sp}, grid_window: {gw}", flush=True)
 
-    train_step = sr_trainer.make_sr_train_step(
-        dmpigo, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
-        skip_zero_grad=frozenset(cfg_train.skip_zero_grad_fields),
-        sr_model=sr_model, d_model=d_model, n_views=1, patch=patch,
-        sr_ratio=sr_ratio, perceptual=None, d_kind="Unet", sweep_patch=sp,
-    )
+    def build_step(grid_window):
+        return sr_trainer.make_sr_train_step(
+            dmpigo, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
+            skip_zero_grad=frozenset(cfg_train.skip_zero_grad_fields),
+            sr_model=sr_model, d_model=d_model, n_views=1, patch=patch,
+            sr_ratio=sr_ratio, perceptual=None, d_kind="Unet", sweep_patch=sp,
+            grid_window=grid_window,
+        )
     flat = lambda x: jnp.asarray(np.asarray(x).reshape(-1, 3))
     target = jnp.asarray(rng.uniform(0, 1, (patch * patch, 3)).astype(np.float32))
     target_hr = jnp.asarray(rng.uniform(
@@ -98,39 +102,49 @@ def main():
     # steady-state step: the reference disables TV after 10k of 300k iters
     # (tv_before/tv_dense_before); the dense-k0 TV gradient also OOMs the
     # fern grid on a 16G chip alongside Adam moments
-    def step(ep, eo, sp_, so, dp, ds, do_, i):
-        return train_step(ep, buffers, eo, sp_, so, dp, ds, do_, batch, lrs,
-                          jax.random.PRNGKey(i), apply_tv=False,
-                          tv_dense=False)
+    results = {}
+    out = (params, enc_opt, sr_params, sr_opt, d_params, d_state, d_opt)
+    for label, grid_window in (("full-grid", None), ("windowed", gw)):
+        train_step = build_step(grid_window)
 
-    t0 = time.perf_counter()
-    out = step(params, enc_opt, sr_params, sr_opt, d_params, d_state, d_opt, 0)
-    jax.block_until_ready(out[0]["density"])
-    print(f"compile+first step: {time.perf_counter() - t0:.1f}s", flush=True)
+        def step(ep, eo, sp_, so, dp, ds, do_, i):
+            return train_step(ep, buffers, eo, sp_, so, dp, ds, do_, batch,
+                              lrs, jax.random.PRNGKey(i), apply_tv=False,
+                              tv_dense=False)
 
-    ts = []
-    for i in range(10):
         t0 = time.perf_counter()
-        out = step(out[0], out[1], out[2], out[3], out[4], out[5], out[6],
-                   i + 1)
-        float(np.asarray(out[0]["density"].reshape(-1)[0]))
-        ts.append(time.perf_counter() - t0)
-    step_ms = float(np.median(ts)) * 1e3
-    print(f"joint G+D step (fern grid, {patch}px patch): {step_ms:.1f} ms "
-          f"-> {1e3 / step_ms:.1f} it/s; 300k iters = "
-          f"{step_ms * 300e3 / 3.6e6:.1f} h", flush=True)
+        o = step(*out, 0)
+        jax.block_until_ready(o[0]["density"])
+        print(f"[{label}] compile+first step: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        out = o[:7]
+        ts = []
+        for i in range(10):
+            t0 = time.perf_counter()
+            o = step(*out, i + 1)
+            out = o[:7]
+            float(np.asarray(out[0]["density"].reshape(-1)[0]))
+            ts.append(time.perf_counter() - t0)
+        step_ms = float(np.median(ts)) * 1e3
+        results[label] = step_ms
+        print(f"[{label}] joint G+D step (fern grid, {patch}px patch): "
+              f"{step_ms:.1f} ms -> {1e3 / step_ms:.1f} it/s; 300k iters = "
+              f"{step_ms * 300e3 / 3.6e6:.1f} h", flush=True)
 
-    import pathlib
-    tdir = pathlib.Path("/root/repo/profile_r2/train_step")
-    tdir.mkdir(parents=True, exist_ok=True)
-    try:
-        with jax.profiler.trace(str(tdir)):
-            out = step(out[0], out[1], out[2], out[3], out[4], out[5],
-                       out[6], 99)
-            jax.block_until_ready(out[0]["density"])
-        print("trace ok", flush=True)
-    except Exception as e:
-        print(f"trace failed: {e}", flush=True)
+        import pathlib
+        tdir = pathlib.Path(f"/root/repo/profile_r3/train_step_{label}")
+        tdir.mkdir(parents=True, exist_ok=True)
+        try:
+            with jax.profiler.trace(str(tdir)):
+                o = step(*out, 99)
+                out = o[:7]
+                jax.block_until_ready(out[0]["density"])
+            print(f"[{label}] trace ok", flush=True)
+        except Exception as e:
+            print(f"[{label}] trace failed: {e}", flush=True)
+    if len(results) == 2:
+        print(f"speedup: {results['full-grid'] / results['windowed']:.2f}x",
+              flush=True)
 
 
 if __name__ == "__main__":
