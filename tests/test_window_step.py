@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # windowed==full exactness guards the hot joint step
+
 from fourk_nerf_tpu.config import ConfigDict
 from fourk_nerf_tpu.models import dmpigo, sr_esrnet, sr_unetdisc
 from fourk_nerf_tpu.ops import rays as ray_ops
