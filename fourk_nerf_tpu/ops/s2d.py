@@ -109,6 +109,37 @@ def conv_up_phase(x, K, b):
         .reshape(n, 2 * h, 2 * w, d).astype(x.dtype)
 
 
+def up_dilated_kernel(K):
+    """conv3x3-after-nearest-up2 as ONE 4x4 kernel on the zero-dilated
+    input (``lhs_dilation=2``): nearest-up2 = zero-up2 followed by a 2x2
+    ones smear, and conv(K, smear(z)) = conv(K (*) ones2x2, z).  Per axis
+    the fused taps sit at offsets u in {-2..1} with
+    ``K'[u+2] = sum_{e in {0,1}} K[u+e+1]`` (terms with index outside 0..2
+    dropped).  Returns [4,4,C,D]."""
+    # A[iu, a] = 1 iff original tap a (0..2) contributes to fused tap iu
+    A = np.zeros((4, 3), np.float32)
+    for iu in range(4):
+        for e in range(2):
+            a = iu - 2 + e + 1
+            if 0 <= a <= 2:
+                A[iu, a] = 1.0
+    A = jnp.asarray(A, K.dtype)
+    return jnp.einsum("UA,VB,ABcd->UVcd", A, A, K)
+
+
+def conv_up_dilated(x, K, b):
+    """Fused nearest_up2 + 3x3 conv via one ``lhs_dilation=2`` conv:
+    [N,H,W,C] -> [N,2H,2W,D] without materializing the upsampled tensor.
+    Exact same math as ``conv3x3(nearest_up2(x))`` (weight-space rewrite;
+    f32 accumulation)."""
+    K4 = up_dilated_kernel(K)
+    y = jax.lax.conv_general_dilated(
+        x, K4, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
 def block_diag_1x1(K):
     """1x1 conv kernel [Ci,Co] -> s2d-domain [4Ci,4Co] (phases independent)."""
     Ci, Co = K.shape

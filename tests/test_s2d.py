@@ -37,6 +37,18 @@ def test_up_phase_conv_exact():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_up_dilated_conv_exact():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 11, 9, 4)).astype(np.float32))
+    K = jnp.asarray(rng.normal(size=(3, 3, 4, 6)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    ref = _conv(up, K) + b
+    got = s2d.conv_up_dilated(x, K, b)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 @pytest.mark.parametrize("H,W", [(32, 48), (29, 41)])
 def test_full_net_matches_reference(H, W):
     """Even and odd frame dims (odd exercises the phase masking)."""
