@@ -327,7 +327,7 @@ def _conv(p, a, bf16=jnp.bfloat16):
 
 def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
                         num_block: int = 5, th: int = 48, tw: int = 128,
-                        interpret: bool = False):
+                        interpret: bool = False, upchain: str = "materialized"):
     """Full SFTNet eval forward with the fused Pallas body.
 
     Mirrors ``SFTNet.__call__`` (models/sr_esrnet.py) / the reference graph
@@ -385,12 +385,27 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
         return jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
 
     if scale > 1:
-        # nearest-up + conv: measured FASTER than both the phase-decomposed
-        # XLA form (pixel-shuffle relayouts don't fuse) and the fused
-        # uptail kernel below (per-tile overheads at 4x the tile count)
-        body = _lrelu(_conv(params["conv_up1"], up2(body)))
-        if scale == 4:
-            body = _lrelu(_conv(params["conv_up2"], up2(body)))
+        if upchain == "dilated":
+            # exact lhs_dilation=2 form (ops/s2d.py::conv_up_dilated):
+            # reads the 1x-res input directly, no materialized up2 tensor
+            from fourk_nerf_tpu.ops import s2d as _s2d
+
+            body = _lrelu(_s2d.conv_up_dilated(
+                body[None] if body.ndim == 3 else body,
+                jnp.asarray(params["conv_up1"]["kernel"], bf),
+                jnp.asarray(params["conv_up1"]["bias"], bf)))
+            if scale == 4:
+                body = _lrelu(_s2d.conv_up_dilated(
+                    body, jnp.asarray(params["conv_up2"]["kernel"], bf),
+                    jnp.asarray(params["conv_up2"]["bias"], bf)))
+        else:
+            # nearest-up + conv: measured FASTER than both the
+            # phase-decomposed XLA form (pixel-shuffle relayouts don't
+            # fuse) and the fused uptail kernel below (per-tile overheads
+            # at 4x the tile count)
+            body = _lrelu(_conv(params["conv_up1"], up2(body)))
+            if scale == 4:
+                body = _lrelu(_conv(params["conv_up2"], up2(body)))
     out = _lrelu(_conv(params["conv_hr"], body))
     k = jnp.asarray(params["conv_last"]["kernel"], bf)
     out = jax.lax.conv_general_dilated(
@@ -404,7 +419,8 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
 #: tail (eager per-op dispatch costs a tunnel round trip each on remote TPU)
 sftnet_apply_pallas_jit = jax.jit(
     sftnet_apply_pallas,
-    static_argnames=("scale", "num_block", "th", "tw", "interpret"))
+    static_argnames=("scale", "num_block", "th", "tw", "interpret",
+                     "upchain"))
 
 
 

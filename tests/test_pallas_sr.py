@@ -81,6 +81,12 @@ def test_full_net_matches_xla():
     ref = model.apply({"params": params}, x, cond)  # f32 reference
     assert float(jnp.max(jnp.abs(got - ref))) < 0.08
 
+    # dilated upchain variant (exact weight-space rewrite of up2+conv)
+    got_d = pallas_sr.sftnet_apply_pallas(params, x, cond, scale=4,
+                                          num_block=1, th=th, tw=tw,
+                                          interpret=True, upchain="dilated")
+    assert float(jnp.max(jnp.abs(got_d - ref16))) < 0.05
+
 
 def test_uptail_fusion_matches_xla():
     """Fused conv_up2+conv_hr+conv_last (phase domain) vs the XLA chain,

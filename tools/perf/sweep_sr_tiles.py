@@ -60,6 +60,25 @@ def main():
         except Exception as e:
             print(f"th={th:3d} tw={tw:3d}: FAILED {repr(e)[:200]}", flush=True)
 
+    # upchain variant at the baseline tiling (ops/s2d.py::conv_up_dilated)
+    for up in ("materialized", "dilated"):
+        try:
+            f = jax.jit(lambda p, x_, c_, up=up: pallas_sr.sftnet_apply_pallas(
+                p, x_, c_, scale=4, num_block=5, th=48, tw=128, upchain=up))
+            out = f(sr_params, x, c)
+            float(np.asarray(out.reshape(-1)[0]))
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = f(sr_params, x, c)
+                float(np.asarray(out.reshape(-1)[0]))
+                ts.append(time.perf_counter() - t0)
+            d = np.abs(np.asarray(out) - ref)
+            print(f"upchain={up}: {np.min(ts)*1e3:7.1f} ms  "
+                  f"p99.9 vs base: {np.percentile(d, 99.9):.3g}", flush=True)
+        except Exception as e:
+            print(f"upchain={up}: FAILED {repr(e)[:200]}", flush=True)
+
 
 if __name__ == "__main__":
     main()
