@@ -260,6 +260,190 @@ def pack_rdb_weights(rdb_params, rrdb_sft=None):
     return tuple(packed_k), bias, sftm, sftb
 
 
+_HALO_R = 16  # whole-RRDB fusion: 3 blocks x 5 convs = 15 px + alignment
+
+
+def pack_rrdb_weights(body_params):
+    """Stack one RRDB's three dense-block packs on a leading rdb axis:
+    ks[s] [3, 3, 3c_s, NW_s], bias [3,5,64], sftm [3,12,32,64],
+    sftb [3,12,64].  rdb3's SFT rows 8..11 hold the RRDB trailing SFT."""
+    packs = [pack_rdb_weights(body_params[f"rdb{j}"],
+                              rrdb_sft=body_params["sft0"] if j == 3 else None)
+             for j in (1, 2, 3)]
+    ks = tuple(jnp.stack([p[0][s] for p in packs]) for s in range(5))
+    bias = jnp.stack([p[1] for p in packs])
+    sftm = jnp.stack([p[2] for p in packs])
+    sftb = jnp.stack([p[3] for p in packs])
+    return ks, bias, sftm, sftb
+
+
+def _rrdb_kernel(xw_ref, k0_ref, k1_ref, k2_ref, k3_ref, k4_ref,
+                 bias_ref, sftm_ref, sftb_ref, out_ref,
+                 xwin_sc, b0_sc, b1_sc, sem,
+                 *, th: int, tw: int, H: int, W: int, ny: int, nx: int,
+                 Hq: int, Wq: int):
+    """Whole-RRDB fusion: one program runs a tile through all THREE dense
+    blocks plus the RRDB trailing SFT and both residuals (vs 3 programs +
+    3 HBM round trips of the body tensor for the per-RDB kernel).  The
+    window halo is sized to the full receptive field (15 px); the
+    intermediate invalid ring is recomputed rather than exchanged --
+    overlapping compute is cheaper than the per-program overhead it
+    replaces.  Math identical to :func:`_rdb_kernel` applied three times
+    (shrinking-valid-region argument; parity-tested)."""
+    m = _HALO_R
+    wh, ww = th + 2 * m, tw + 2 * m
+    P = wh * ww
+    OFF = _off(ww)
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    t = ty * nx + tx
+    nT = ny * nx
+
+    def win_origin(tt):
+        r0 = pl.multiple_of(jnp.clip((tt // nx) * th - m, 0, Hq - wh), 8)
+        c0 = pl.multiple_of(jnp.clip((tt % nx) * tw - m, 0, Wq - ww), 8)
+        return r0, c0
+
+    def start_dma(slot, tt):
+        r0, c0 = win_origin(tt)
+        pltpu.make_async_copy(
+            xw_ref.at[pl.ds(r0, wh), pl.ds(c0, ww), :],
+            xwin_sc.at[slot], sem.at[slot, 0]).start()
+
+    slot = t % 2
+
+    @pl.when(t == 0)
+    def _():
+        b0_sc[...] = jnp.zeros_like(b0_sc)
+        b1_sc[...] = jnp.zeros_like(b1_sc)
+        start_dma(0, 0)
+
+    @pl.when(t + 1 < nT)
+    def _():
+        start_dma(1 - slot, t + 1)
+
+    pltpu.make_async_copy(xwin_sc.at[slot], xwin_sc.at[slot],
+                          sem.at[slot, 0]).wait()
+
+    r0, c0 = win_origin(t)
+    dy0 = ty * th - r0
+    dx0 = pl.multiple_of(tx * tw - c0, 8)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    iy = idx // ww + r0
+    ix = idx % ww + c0
+    maskf = ((iy < H) & (ix < W)).astype(f32)
+
+    win = xwin_sc[slot].reshape(P, 128)
+    cond = win[:, _F:_F + _G]
+    x0 = win[:, :_F].astype(f32)
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def sft_pair(r, base):
+        h = _lrelu(mm(cond, sftm_ref[r, base + 0])
+                   + sftb_ref[r, base + 0].reshape(1, -1))
+        scale = mm(h[:, :_G].astype(bf16), sftm_ref[r, base + 1]) \
+            + sftb_ref[r, base + 1].reshape(1, -1)
+        h2 = _lrelu(mm(cond, sftm_ref[r, base + 2])
+                    + sftb_ref[r, base + 2].reshape(1, -1))
+        shift = mm(h2[:, :_G].astype(bf16), sftm_ref[r, base + 3]) \
+            + sftb_ref[r, base + 3].reshape(1, -1)
+        return scale, shift
+
+    col = idx % ww
+    wrapL = (col != ww - 1).astype(bf16)
+    wrapR = (col != 0).astype(bf16)
+
+    def store_shifts(buf, y16, c):
+        buf[pl.ds(OFF + 1, P), 0:c] = y16 * wrapL
+        buf[pl.ds(OFF, P), c:2 * c] = y16
+        buf[pl.ds(OFF - 1, P), 2 * c:3 * c] = y16 * wrapR
+
+    kr = (k0_ref, k1_ref, k2_ref, k3_ref, k4_ref)
+    x = x0
+    for r in range(3):
+        scale, shift = sft_pair(r, 0)
+        xc0 = (x * (scale + 1.0) + shift) * maskf
+        store_shifts(b0_sc, xc0.astype(bf16), _F)
+        acc = [None] * 5
+        for s in range(5):
+            buf = b0_sc if s == 0 else b1_sc
+            c3 = 3 * (_F if s == 0 else _G)
+            for dyi in range(3):
+                row = OFF + (dyi - 1) * ww
+                op = buf[pl.ds(row, P), 0:c3]
+                wide = mm(op, kr[s][r, dyi])          # [P, NW_s] f32
+                o = 0
+                for tgt in range(s, 5):
+                    cw = _COUT[tgt]
+                    sl = wide[:, o:o + cw]
+                    acc[tgt] = sl if acc[tgt] is None else acc[tgt] + sl
+                    o += cw
+            y = acc[s] + bias_ref[r, s, 0:_COUT[s]].reshape(1, -1)
+            if s < 4:
+                y = (_lrelu(y) * maskf).astype(bf16)
+                if s == 3:
+                    s1, s2 = sft_pair(r, 4)
+                    y = ((y.astype(f32) * (s1[:, :_G] + 1.0) + s2[:, :_G])
+                         * maskf).astype(bf16)
+                store_shifts(b1_sc, y, _G)
+            else:
+                x = y * 0.2 + x                        # dense-block residual
+    sc1, sh1 = sft_pair(2, 8)                          # RRDB trailing SFT
+    out = (x * (sc1 + 1.0) + sh1) * 0.2 + x0           # RRDB residual
+
+    ozero = jnp.zeros((P, 128 - _F - _G), bf16)
+    full = jnp.concatenate([out.astype(bf16), cond, ozero], axis=1)
+    xwin_sc[slot] = full.reshape(wh, ww, 128)
+    out_ref[...] = xwin_sc[slot, pl.ds(dy0, th), pl.ds(dx0, tw), :]
+
+
+def rrdb_apply_pallas(body, packed, *, H: int, W: int, th: int, tw: int,
+                      interpret: bool = False):
+    """Apply one whole fused RRDB (3 dense blocks + trailing SFT +
+    residuals) in a single pallas_call.  Same tiling contract as
+    :func:`rdb_apply_pallas` but with the 3-block halo (requires
+    Hq >= th+2*_HALO_R, Wq >= tw+2*_HALO_R)."""
+    m = _HALO_R
+    Hq, Wq, _ = body.shape
+    ny, nx = Hq // th, Wq // tw
+    wh, ww = th + 2 * m, tw + 2 * m
+    if th % 8 or tw % 16 or Hq < wh or Wq < ww:
+        raise ValueError(f"bad rrdb tiling th={th} tw={tw} Hq={Hq} Wq={Wq}")
+    P = wh * ww
+    PB = _off(ww) + P + ww + 16
+    ks, bias, sftm, sftb = packed
+
+    kernel = functools.partial(_rrdb_kernel, th=th, tw=tw, H=H, W=W,
+                               ny=ny, nx=nx, Hq=Hq, Wq=Wq)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((th, tw, 128), lambda ty, tx: (ty, tx, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+        + [vspec] * 8,
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((Hq, Wq, 128), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, wh, ww, 128), jnp.bfloat16),
+            pltpu.VMEM((PB, 3 * _F), jnp.bfloat16),
+            pltpu.VMEM((PB, 3 * _G), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 1)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(body, *ks, bias, sftm, sftb)
+
+
 def rdb_apply_pallas(body, packed, *, H: int, W: int, th: int,
                      tw: int, xin=None, interpret: bool = False,
                      ablate: str = ""):
@@ -327,7 +511,8 @@ def _conv(p, a, bf16=jnp.bfloat16):
 
 def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
                         num_block: int = 5, th: int = 48, tw: int = 128,
-                        interpret: bool = False, upchain: str = "materialized"):
+                        interpret: bool = False, upchain: str = "materialized",
+                        fuse_rrdb: bool = False):
     """Full SFTNet eval forward with the fused Pallas body.
 
     Mirrors ``SFTNet.__call__`` (models/sr_esrnet.py) / the reference graph
@@ -356,6 +541,11 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
 
     for i in range(num_block):
         bp = params[f"body{i}"]
+        if fuse_rrdb:
+            body = rrdb_apply_pallas(body, pack_rrdb_weights(bp),
+                                     H=H, W=W, th=th, tw=tw,
+                                     interpret=interpret)
+            continue
         xin = body
         cur = body
         for j in (1, 2):
@@ -420,7 +610,7 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
 sftnet_apply_pallas_jit = jax.jit(
     sftnet_apply_pallas,
     static_argnames=("scale", "num_block", "th", "tw", "interpret",
-                     "upchain"))
+                     "upchain", "fuse_rrdb"))
 
 
 

@@ -87,6 +87,13 @@ def test_full_net_matches_xla():
                                           interpret=True, upchain="dilated")
     assert float(jnp.max(jnp.abs(got_d - ref16))) < 0.05
 
+    # whole-RRDB fused kernel (halo recompute, f32 inter-block residuals)
+    got_f = pallas_sr.sftnet_apply_pallas(params, x, cond, scale=4,
+                                          num_block=1, th=th, tw=tw,
+                                          interpret=True, fuse_rrdb=True)
+    assert float(jnp.max(jnp.abs(got_f - ref16))) < 0.05
+    assert float(jnp.max(jnp.abs(got_f - ref))) < 0.08
+
 
 def test_uptail_fusion_matches_xla():
     """Fused conv_up2+conv_hr+conv_last (phase domain) vs the XLA chain,

@@ -60,6 +60,29 @@ def main():
         except Exception as e:
             print(f"th={th:3d} tw={tw:3d}: FAILED {repr(e)[:200]}", flush=True)
 
+    # whole-RRDB fusion at several tilings (5 kernel launches vs 15; the
+    # 32-px fused halo favors bigger tiles)
+    for th, tw in ((48, 128), (64, 128), (48, 336), (64, 336), (48, 512)):
+        try:
+            f = jax.jit(lambda p, x_, c_, th=th, tw=tw:
+                        pallas_sr.sftnet_apply_pallas(
+                            p, x_, c_, scale=4, num_block=5, th=th, tw=tw,
+                            fuse_rrdb=True))
+            out = f(sr_params, x, c)
+            float(np.asarray(out.reshape(-1)[0]))
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = f(sr_params, x, c)
+                float(np.asarray(out.reshape(-1)[0]))
+                ts.append(time.perf_counter() - t0)
+            d = np.abs(np.asarray(out) - ref)
+            print(f"FUSED th={th:3d} tw={tw:3d}: {np.min(ts)*1e3:7.1f} ms  "
+                  f"p99.9 vs base: {np.percentile(d, 99.9):.3g}", flush=True)
+        except Exception as e:
+            print(f"FUSED th={th:3d} tw={tw:3d}: FAILED {repr(e)[:200]}",
+                  flush=True)
+
     # upchain variant at the baseline tiling (ops/s2d.py::conv_up_dilated)
     for up in ("materialized", "dilated"):
         try:
