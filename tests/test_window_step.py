@@ -16,8 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.smoke  # windowed==full exactness guards the hot joint step
-
 from fourk_nerf_tpu.config import ConfigDict
 from fourk_nerf_tpu.models import dmpigo, sr_esrnet, sr_unetdisc
 from fourk_nerf_tpu.ops import rays as ray_ops
@@ -135,6 +133,7 @@ def test_windowed_step_equals_full_step():
     np.testing.assert_allclose(float(full[4]), float(win[4]), atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_windowed_masked_adam_equals_full():
     rng = np.random.default_rng(3)
     X, Y, Z, C = 20, 18, 6, 4
@@ -169,6 +168,7 @@ def test_windowed_masked_adam_equals_full():
     assert int(win_s["step"]) == 5
 
 
+@pytest.mark.smoke
 def test_window_size_covers_union_footprint():
     cfg = dmpigo.make_config(
         xyz_min=[-2.0, -2.0, -1.0], xyz_max=[2.0, 2.0, 1.0],
