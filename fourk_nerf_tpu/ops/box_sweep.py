@@ -432,9 +432,16 @@ def render_frame_box(cfg, params, buffers, H: int, W: int, Kc, c2w, *,
                      stepsize: float, near: float, bg: float,
                      inverse_y=False, flip_x=False, flip_y=False,
                      use_bf16: bool = True, tile: int = 16,
-                     timers: dict | None = None, _ablate: str = ""):
+                     timers: dict | None = None, _ablate: str = "",
+                     tile_mesh=None, tile_axis: str = "data"):
     """Full-frame bounded-scene render.  Returns dict with
     rgb_marched/rgb_feature/depth/alphainv_last maps ([H,W,*]).
+
+    ``tile_mesh``: optional ``jax.sharding.Mesh`` — the per-tile tensors
+    are sharded along ``tile_axis`` so the slab sweep runs data-parallel
+    over pixel tiles (grids replicated; each device sweeps its tile
+    subset over all slabs).  Applied only when the tile count divides the
+    axis size; otherwise single-device behavior is preserved.
 
     Raises ValueError when the frame's rays don't share a dominant grid axis
     with enough per-step advance (S would exceed ``_S_MAX``) or the grid
@@ -504,6 +511,15 @@ def render_frame_box(cfg, params, buffers, H: int, W: int, Kc, c2w, *,
         _, Wm = _mask_plane_plan(Z, mZ)
         mPu = min(mU, _round_up8(spread[0] * (mU - 1) / max(U - 1, 1) + 5))
         mPv = min(mV, _round_up8(spread[1] * (mV - 1) / max(V - 1, 1) + 5))
+
+    if tile_mesh is not None and start_p.shape[0] % tile_mesh.shape[tile_axis] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        s_tile = NamedSharding(tile_mesh, _P(tile_axis))
+        put = lambda x: jax.device_put(x, s_tile)
+        start_p, unit_p, n_per, vdir_emb, z0, dz, kmax = map(
+            put, (start_p, unit_p, n_per, vdir_emb, z0, dz, kmax))
+        wmin = jax.device_put(wmin, NamedSharding(tile_mesh, _P(None, tile_axis)))
 
     # metrics-grade f32 must force true-f32 MXU passes (TPU default matmul
     # precision is bf16-grade on f32 inputs; same policy as plane_sweep)
