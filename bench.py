@@ -27,11 +27,12 @@ _TRAINED_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def load_trained_fern_scale():
     """Trained-content anchor (VERDICT round-2 item 5): the committed
     med-LLFF joint checkpoint's encoder grids (tools/dev/med_llff_sr_cfg.py,
-    curves in profile_r3/curves_med/) trilinearly upsampled to the fern
-    benchmark resolution, occupancy re-derived.  The synthetic-grid headline
-    uses random density + a 50% random mask; a TRAINED grid is sparse and
-    front-loaded, which changes early-termination behavior -- this reports
-    both."""
+    curves in profile_r3/curves_med/) trilinearly upsampled onto the EXACT
+    fern benchmark geometry (same bounds/world_size as the synthetic
+    headline, so the two timings differ only in grid CONTENT), occupancy
+    re-derived.  The synthetic-grid headline uses random density + a 50%
+    random mask; a TRAINED grid is sparse and front-loaded, which changes
+    early-termination behavior -- this reports both."""
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +44,7 @@ def load_trained_fern_scale():
     rgbnet = {k[len("rgbnet_"):]: jnp.asarray(z[k], jnp.float32)
               for k in z.files if k.startswith("rgbnet_")}
     cfg = dmpigo.make_config(
-        xyz_min=z["xyz_min"], xyz_max=z["xyz_max"],
+        xyz_min=[-1.5, -1.67, -1.0], xyz_max=[1.5, 1.67, 1.0],
         num_voxels=384 * 384 * 256, mpi_depth=256,
         fast_color_thres=1.0 / 256 / 5, rgbnet_dim=int(z["k0"].shape[-1]),
         rgbnet_depth=len(rgbnet) // 2,
