@@ -174,6 +174,13 @@ def main():
                     and int(sr_model.num_grow_ch) == 32
                     and int(sr_model.scale) in (1, 2, 4)]
 
+        # decode-variant knobs (measured per-chip via
+        # tools/perf/sweep_sr_tiles.py): FOURK_SR_FUSE_RRDB=1 runs whole
+        # RRDBs per kernel launch; FOURK_SR_UPCHAIN=dilated uses the exact
+        # lhs-dilated upsample convs
+        _fuse = os.environ.get("FOURK_SR_FUSE_RRDB") == "1"
+        _upchain = os.environ.get("FOURK_SR_UPCHAIN", "materialized")
+
         def fast_fn(p, x, c):
             if use_fast[0]:
                 try:
@@ -181,7 +188,8 @@ def main():
                     return np.asarray(pallas_sr.sftnet_apply_pallas_jit(
                         p, jnp_asarray(x), jnp_asarray(c),
                         scale=int(sr_model.scale),
-                        num_block=int(sr_model.num_block)))
+                        num_block=int(sr_model.num_block),
+                        fuse_rrdb=_fuse, upchain=_upchain))
                 except Exception as e:
                     print(f"pallas SR decode unavailable "
                           f"({type(e).__name__}); XLA decode")
