@@ -95,6 +95,25 @@ def test_full_net_matches_xla():
     assert float(jnp.max(jnp.abs(got_f - ref))) < 0.08
 
 
+def test_fused_rrdb_chains_blocks():
+    """Two RRDBs through the fused kernel: the cond channels must survive
+    the block-to-block handoff (they ride lanes 64:96 of the body tensor
+    and every fused program copies them through)."""
+    H, W, th, tw = 33, 50, 16, 32
+    rng = np.random.default_rng(4)
+    model = sr_esrnet.SFTNet(n_in_colors=3, scale=2, num_feat=64, num_block=2,
+                             num_grow_ch=32, num_cond=1)
+    x = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(1, H, W, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(3), x, cond)["params"]
+    ref16 = sr_esrnet.apply_bf16(model, params, x, cond)
+    got = pallas_sr.sftnet_apply_pallas(params, x, cond, scale=2, num_block=2,
+                                        th=th, tw=tw, interpret=True,
+                                        fuse_rrdb=True)
+    assert got.shape == ref16.shape
+    assert float(jnp.max(jnp.abs(got - ref16))) < 0.05
+
+
 def test_uptail_fusion_matches_xla():
     """Fused conv_up2+conv_hr+conv_last (phase domain) vs the XLA chain,
     odd frame dims + clamped edge tiles."""
