@@ -132,6 +132,21 @@ def _prep_frame(cfg, Kc, c2w, *, H: int, W: int, tile: int, axis: int,
     ro_t = _tiles_of(pad2(ro), nty, ntx, tile)   # [T,R,3]
     rd_t = _tiles_of(pad2(rd), nty, ntx, tile)
     vd_t = _tiles_of(pad2(vd), nty, ntx, tile)
+    return _prep_core(cfg, ro_t, rd_t, vd_t, axis=axis, flip=flip,
+                      stepsize=stepsize, near=near, vpe=vpe)
+
+
+def _prep_core(cfg, ro_t, rd_t, vd_t, *, axis: int, flip: bool,
+               stepsize: float, near: float, vpe: int):
+    """Per-ray sampling params for already-tiled rays [T,R,3] (shared by
+    the frame prep and the training ray-batch prep)."""
+    p = _perm(axis)
+    X, Y, Zf = [cfg.world_size[i] for i in p]
+    Z = X
+    stepdist = stepsize * cfg.voxel_size
+    K = cfg.n_samples(stepsize)
+    mn_all = jnp.asarray(cfg.xyz_min)
+    mx_all = jnp.asarray(cfg.xyz_max)
 
     # identical formulas to render.sample_pts_on_rays_fixed (parity)
     t_min, t_max = render.ray_aabb(ro_t, rd_t, mn_all, mx_all, near, 1e9)
@@ -249,15 +264,20 @@ def _onehot(rel, P: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "stepsize", "S", "Pu", "Pv", "axis", "flip", "use_bf16",
-    "mask_mode", "mask_ch", "mPu", "mPv", "Wm", "bg", "ablate"))
+    "mask_mode", "mask_ch", "mPu", "mPv", "Wm", "bg", "ablate", "train"))
 def _sweep(cfg, params, buffers, start_p, unit_p, n_per, vdir_emb, z0, dz,
            kmax, wmin_all, *, stepsize: float, S: int, Pu: int, Pv: int,
            axis: int, flip: bool, use_bf16: bool, mask_mode: str,
     mask_ch: int | None, mPu: int, mPv: int, Wm: int, bg: float,
-    ablate: str = ""):
+    ablate: str = "", train: bool = False):
     """Slab-outer sweep: each grid plane is read from HBM exactly once; all
     ray tiles advance together.  Returns (rgb_marched [T,R,3], depth [T,R],
-    alphainv_last [T,R])."""
+    alphainv_last [T,R]); with ``train=True`` additionally the per-sample
+    tensors the encoder losses need, stacked slab-major:
+    (weights [Z-1,T,R,S], raw_rgb [Z-1,T,R,S,3], ks [Z-1,T,R,S]) — each
+    global sample index k belongs to exactly one (slab, slot), every other
+    slot carries weight 0, so the flattened [T,R,(Z-1)*S] layout is the
+    dense masked formulation of ops/render.py with a different shape."""
     p = _perm(axis)
     Z, U, V = [cfg.world_size[i] for i in p]
     K = cfg.n_samples(stepsize)
@@ -418,14 +438,16 @@ def _sweep(cfg, params, buffers, start_p, unit_p, n_per, vdir_emb, z0, dz,
         rgb_acc = rgb_acc + jnp.sum(wgt[..., None] * rgb_raw, axis=2)
         depth_acc = depth_acc + jnp.sum(wgt * ((ks + 0.5) / n_ref), axis=2)
         t_cum = t_post[..., -1]
-        return (plane_cur, t_cum, ail, rgb_acc, depth_acc), None
+        ys = (wgt, rgb_raw, ks) if train else None
+        return (plane_cur, t_cum, ail, rgb_acc, depth_acc), ys
 
     init = (vol[0], jnp.ones((T, R), jnp.float32), jnp.ones((T, R), jnp.float32),
             jnp.zeros((T, R, 3), jnp.float32), jnp.zeros((T, R), jnp.float32))
     js = jnp.arange(Z - 1, dtype=jnp.float32)
-    (_, t_cum, ail, rgb_acc, depth_acc), _ = jax.lax.scan(
+    (_, t_cum, ail, rgb_acc, depth_acc), ys = jax.lax.scan(
         body, init, (vol[1:], wmin_all, js, mplanes, base))
-    return rgb_acc + ail[..., None] * bg, depth_acc, ail
+    out = (rgb_acc + ail[..., None] * bg, depth_acc, ail)
+    return out + (ys,) if train else out
 
 
 def render_frame_box(cfg, params, buffers, H: int, W: int, Kc, c2w, *,
@@ -550,4 +572,147 @@ def render_frame_box(cfg, params, buffers, H: int, W: int, Kc, c2w, *,
         "rgb_feature": rgbm - ailm[..., None] * bg,
         "depth": untile(depth)[..., 0],
         "alphainv_last": ailm,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Differentiable training render for coherent ray batches (pixel patches)
+# ---------------------------------------------------------------------------
+
+def _axis_stats_rays(cfg, ro, rd, *, stepdist: float, near: float):
+    """:func:`_axis_stats` for an explicit ray batch [N,3]."""
+    xyz_min = jnp.asarray(cfg.xyz_min)
+    xyz_max = jnp.asarray(cfg.xyz_max)
+    sizes = jnp.asarray(cfg.world_size, jnp.float32)
+    t_min, t_max = render.ray_aabb(ro, rd, xyz_min, xyz_max, near, 1e9)
+    hit = t_max > t_min
+    unit = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    dz = unit * stepdist / (xyz_max - xyz_min) * (sizes - 1.0)
+    sgn = jnp.sign(jnp.sum(jnp.where(hit[:, None], dz, 0.0), axis=0))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    signed = dz * sgn
+    min_signed = jnp.min(jnp.where(hit[:, None], signed, _BIG), axis=0)
+    return jnp.concatenate(
+        [min_signed, sgn, jnp.sum(hit).astype(jnp.float32)[None]])
+
+
+def box_train_plan(cfg, ro, rd, *, stepsize: float, near: float):
+    """Host-side STATIC sweep plan (axis, flip, S) for a training ray
+    batch; None when the rays share no dominant grid axis (caller falls
+    back to the gather path).  Shared S quantization with
+    :func:`render_frame_box` so one compile covers a band of poses."""
+    stepdist = stepsize * cfg.voxel_size
+    stats = np.asarray(_axis_stats_rays(
+        cfg, jnp.asarray(np.asarray(ro).reshape(-1, 3)),
+        jnp.asarray(np.asarray(rd).reshape(-1, 3)),
+        stepdist=float(stepdist), near=float(near)))
+    min_signed, sgn, n_hit = stats[:3], stats[3:6], stats[6]
+    if n_hit == 0:
+        return None
+    axis = int(np.argmax(min_signed))
+    mdz = float(min_signed[axis])
+    if mdz <= 1.0 / (_S_MAX - 2):
+        return None
+    S = int(np.ceil(1.0 / mdz)) + 2
+    S = -(-S // 4) * 4
+    return axis, bool(sgn[axis] < 0), S
+
+
+def box_window_size_for(cfg, ro, rd, vd, *, stepsize: float, near: float,
+                        axis: int, flip: bool, cap: int = 64):
+    """Host-side STATIC (Pu, Pv) slab-window size for a ray batch (max
+    per-slab footprint + hat margins, rounded to 8); None when it exceeds
+    ``cap`` (window too wide for an efficient sweep).  Training setup
+    calls this over all sampler patches and takes the max."""
+    prep = _prep_core(
+        cfg, jnp.asarray(np.asarray(ro).reshape(1, -1, 3)),
+        jnp.asarray(np.asarray(rd).reshape(1, -1, 3)),
+        jnp.asarray(np.asarray(vd).reshape(1, -1, 3)),
+        axis=axis, flip=flip, stepsize=float(stepsize), near=float(near),
+        vpe=0)
+    spread = np.asarray(prep[-1])
+    p = _perm(axis)
+    U, V = cfg.world_size[p[1]], cfg.world_size[p[2]]
+    Pu = min(U, max(16, _round_up8(spread[0] + 4)))
+    Pv = min(V, max(16, _round_up8(spread[1] + 4)))
+    if Pu > cap or Pv > cap:
+        return None
+    return Pu, Pv
+
+
+def sweep_rays_train_box(cfg, params, buffers, rays_o, rays_d, viewdirs, *,
+                         stepsize: float, near: float, bg: float,
+                         axis: int, flip: bool, S: int, Pu: int, Pv: int,
+                         key=None, rand_bkgd: bool = False,
+                         is_train: bool = True, use_bf16: bool = True):
+    """Differentiable slab-sweep render of ONE coherent ray batch (a pixel
+    patch), for bounded-scene training: the TPU-native replacement for the
+    chunked-gather training forward (models/dvgo.py::forward reproduces
+    /root/reference/lib/dvgo.py:327-448; XLA scalarizes its random voxel
+    gathers).  Returns the same dense dict as ``dvgo.forward`` with
+    K' = (Z-1)*S sample slots: each global sample index k occupies exactly
+    one (slab, slot) (weight 0 elsewhere), slab-major ordering is monotone
+    in k per ray, so every encoder loss term is computed unchanged.
+
+    ``axis``/``flip``/``S`` come from :func:`box_train_plan`, ``Pu``/``Pv``
+    from :func:`box_window_size_for` (static per training phase).
+    Gradients flow to density/k0/rgbnet through dynamic_slice + hat-weight
+    matmuls + the slab scan (all natively differentiable)."""
+    if cfg.density_type != "DenseGrid" or cfg.k0_type != "DenseGrid":
+        raise ValueError("box sweep requires dense grids")
+    if cfg.rgbnet_full_implicit:
+        raise ValueError("box sweep: rgbnet_full_implicit unsupported")
+    has_mlp = cfg.rgbnet_dim > 0
+    vpe = cfg.viewbase_pe if has_mlp else 0
+    prep = _prep_core(cfg, rays_o[None], rays_d[None], viewdirs[None],
+                      axis=axis, flip=flip, stepsize=float(stepsize),
+                      near=float(near), vpe=vpe)
+    start_p, unit_p, n_per, vdir_emb, z0, dz, kmax, wmin, _spread = prep
+
+    mask = buffers["mask_cache"]
+    p = _perm(axis)
+    Z, U, V = [cfg.world_size[i] for i in p]
+    channel_mode = tuple(mask.shape) == tuple(cfg.world_size)
+    if channel_mode:
+        mask_mode, mask_ch = "channel", 1 + cfg.k0_dim
+        mPu = mPv = Wm = 1
+    else:
+        mask_mode, mask_ch = "native", None
+        mZ, mU, mV = [mask.shape[i] for i in p]
+        _, Wm = _mask_plane_plan(Z, mZ)
+        mPu = min(mU, _round_up8(Pu * (mU - 1) / max(U - 1, 1) + 5))
+        mPv = min(mV, _round_up8(Pv * (mV - 1) / max(V - 1, 1) + 5))
+
+    prec = "default" if use_bf16 else "highest"
+    with jax.default_matmul_precision(prec):
+        rgb, depth, ail, (w_s, rgb_s, ks_s) = _sweep(
+            cfg, params, buffers, start_p, unit_p, n_per, vdir_emb, z0, dz,
+            kmax, wmin, stepsize=float(stepsize), S=S, Pu=Pu, Pv=Pv,
+            axis=axis, flip=flip, use_bf16=use_bf16, mask_mode=mask_mode,
+            mask_ch=mask_ch, mPu=mPu, mPv=mPv, Wm=Wm, bg=float(bg),
+            train=True)
+
+    R = rays_o.shape[0]
+    Kd = (Z - 1) * S
+    n_ref = cfg.n_samples_ref(stepsize)
+    weights = jnp.transpose(w_s[:, 0], (1, 0, 2)).reshape(R, Kd)
+    raw_rgb = jnp.transpose(rgb_s[:, 0], (1, 0, 2, 3)).reshape(R, Kd, 3)
+    s = (jnp.transpose(ks_s[:, 0], (1, 0, 2)).reshape(R, Kd) + 0.5) / n_ref
+    ail = ail[0]
+    rgb_feature = rgb[0] - ail[:, None] * bg
+    if rand_bkgd and is_train:
+        assert key is not None
+        noise = jax.random.uniform(key, (R, 3), dtype=rgb_feature.dtype)
+        rgb_marched = rgb_feature + ail[:, None] * noise
+    else:
+        rgb_marched = rgb_feature + ail[:, None] * bg
+    return {
+        "alphainv_last": ail,
+        "weights": weights,
+        "rgb_marched": rgb_marched,
+        "rgb_feature": rgb_feature,
+        "raw_rgb": raw_rgb,
+        "n_max": n_ref,
+        "s": jax.lax.stop_gradient(s),
+        "depth": jax.lax.stop_gradient(depth[0]),
     }
