@@ -622,12 +622,15 @@ def box_window_size_for(cfg, ro, rd, vd, *, stepsize: float, near: float,
                         axis: int, flip: bool, cap: int = 64):
     """Host-side STATIC (Pu, Pv) slab-window size for a ray batch (max
     per-slab footprint + hat margins, rounded to 8); None when it exceeds
-    ``cap`` (window too wide for an efficient sweep).  Training setup
-    calls this over all sampler patches and takes the max."""
+    ``cap`` (window too wide for an efficient sweep).  Accepts one batch
+    [R,3] or pre-tiled patches [T,R,3] (the spread is then the max over
+    tiles — training setup passes every sampler patch of a view at
+    once)."""
+    tile3 = lambda x: (jnp.asarray(np.asarray(x))
+                       if np.asarray(x).ndim == 3
+                       else jnp.asarray(np.asarray(x).reshape(1, -1, 3)))
     prep = _prep_core(
-        cfg, jnp.asarray(np.asarray(ro).reshape(1, -1, 3)),
-        jnp.asarray(np.asarray(rd).reshape(1, -1, 3)),
-        jnp.asarray(np.asarray(vd).reshape(1, -1, 3)),
+        cfg, tile3(ro), tile3(rd), tile3(vd),
         axis=axis, flip=flip, stepsize=float(stepsize), near=float(near),
         vpe=0)
     spread = np.asarray(prep[-1])

@@ -134,7 +134,8 @@ def gather_training_rays(cfg, cfg_train, data_dict, model_mod=None, model_state=
         flat = {k: np.concatenate([a.reshape(-1, a.shape[-1]) for a in v], 0)
                 for k, v in ray_lists.items()}
         mode = "flat"
-    elif sampler in ("random", "patch_simg", "patch_mimg", "patch_inmask"):
+    elif sampler in ("random", "patch_simg", "patch_mimg", "patch_inmask",
+                     "patch_box"):
         flat = {k: np.stack(v, 0) for k, v in ray_lists.items()}  # [V,H,W,3]
         mode = "image"
     else:
@@ -181,7 +182,98 @@ def make_batch_sampler(sampler: str, flat: dict, n_rand: int, seed: int):
             )
 
         return sample
+    if sampler == "patch_box":
+        # coherent pixel patches for the slab-sweep bounded train path
+        # (ops/box_sweep.py::sweep_rays_train_box): grid-aligned origins
+        # clamped to the border (same scheme as the joint trainer's patch
+        # sampler, quantified in tests/test_patch_weighting.py), shuffled
+        # over (view x position), patch side = largest multiple of 8 with
+        # P^2 <= N_rand
+        V, H, W = flat["rgb"].shape[:3]
+        P = max((int(np.sqrt(n_rand)) // 8) * 8, 8)
+        rows = sorted({min(r, H - P) for r in range(0, H, P)})
+        cols = sorted({min(c, W - P) for c in range(0, W, P)})
+        combos = [(v, r, c) for v in range(V) for r in rows for c in cols]
+        cache = {"epoch": -1, "order": None}
+
+        def sample(step: int):
+            epoch, i = divmod(step, len(combos))
+            if cache["epoch"] != epoch:
+                cache["epoch"] = epoch
+                cache["order"] = np.random.default_rng(
+                    (seed, epoch)).permutation(len(combos))
+            return ("patch", combos[cache["order"][i]])
+
+        sample.patch = P
+        return sample
     raise NotImplementedError(sampler)
+
+
+def compute_box_plans(model_cfg, ray_lists, render_kwargs, patch: int):
+    """Host-side static plan for the ``patch_box`` slab-sweep train path:
+    per-view (axis, flip, S) + one global (Pu, Pv) window covering every
+    sampler patch of every view.  Returns (plans, (Pu, Pv)) or (None, None)
+    when some view lacks a dominant axis / the window would be too wide —
+    the trainer then falls back to the gather forward on the same
+    patches."""
+    from fourk_nerf_tpu.ops import box_sweep
+
+    stepsize, near = render_kwargs["stepsize"], render_kwargs["near"]
+    plans, Pu, Pv = [], 8, 8
+    u_cap, v_cap = max(model_cfg.world_size), max(model_cfg.world_size)
+    for v in range(len(ray_lists["rays_o"])):
+        ro, rd = ray_lists["rays_o"][v], ray_lists["rays_d"][v]
+        vd = ray_lists["viewdirs"][v]
+        plan = box_sweep.box_train_plan(model_cfg, ro, rd,
+                                        stepsize=stepsize, near=near)
+        if plan is None:
+            return None, None
+        H, W = ro.shape[:2]
+        rows = sorted({min(r, H - patch) for r in range(0, H, patch)})
+        cols = sorted({min(c, W - patch) for c in range(0, W, patch)})
+        tiles = lambda x: np.stack(
+            [x[r:r + patch, c:c + patch].reshape(-1, 3)
+             for r in rows for c in cols])
+        pupv = box_sweep.box_window_size_for(
+            model_cfg, tiles(ro), tiles(rd), tiles(vd),
+            stepsize=stepsize, near=near, axis=plan[0], flip=plan[1])
+        if pupv is None:
+            return None, None
+        plans.append(plan)
+        Pu, Pv = max(Pu, pupv[0]), max(Pv, pupv[1])
+        # the shared window must fit the minor-axis extents of EVERY
+        # view's plan (views can sweep different axes)
+        ax = plan[0]
+        u_cap = min(u_cap, model_cfg.world_size[(ax + 1) % 3])
+        v_cap = min(v_cap, model_cfg.world_size[(ax + 2) % 3])
+    return plans, (min(Pu, u_cap), min(Pv, v_cap))
+
+
+def make_box_train_steps(model_mod, model_cfg, cfg_train, *, render_kwargs,
+                         skip_zero_grad, Pu: int, Pv: int, near_thres=None):
+    """Factory of jitted ``patch_box`` train steps, cached per static
+    (axis, flip, S) plan (different views can sweep different axes; at
+    most ~6 distinct compiles per stage)."""
+    from fourk_nerf_tpu.ops import box_sweep
+
+    cache: dict = {}
+
+    def get_step(axis: int, flip: bool, S: int):
+        key = (axis, flip, S)
+        if key not in cache:
+            def box_forward(cfg_, p, buffers_, ro, rd, vd, *, stepsize,
+                            near, bg, rand_bkgd, is_train, key, **_unused):
+                return box_sweep.sweep_rays_train_box(
+                    cfg_, p, buffers_, ro, rd, vd, stepsize=stepsize,
+                    near=near, bg=bg, axis=axis, flip=flip, S=S, Pu=Pu,
+                    Pv=Pv, key=key, rand_bkgd=rand_bkgd, is_train=is_train)
+            cache[key] = make_train_step(
+                model_mod, model_cfg, cfg_train, render_kwargs=render_kwargs,
+                skip_zero_grad=skip_zero_grad, near_thres=near_thres,
+                forward_fn=box_forward)
+        return cache[key]
+
+    return get_step
 
 
 # ---------------------------------------------------------------------------
@@ -190,9 +282,14 @@ def make_batch_sampler(sampler: str, flat: dict, n_rand: int, seed: int):
 
 def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
                     skip_zero_grad: frozenset, near_thres=None,
-                    donate: bool = True):
+                    donate: bool = True, forward_fn=None):
     """Build a jitted step fn. Static per phase: model config (shapes),
-    TV-mode flags. Traced: params, opt state, batch, lrs, rng key."""
+    TV-mode flags. Traced: params, opt state, batch, lrs, rng key.
+
+    ``forward_fn`` overrides the rendering forward (same signature subset
+    as ``model_mod.forward``) — used by the bounded slab-sweep train path
+    (ops/box_sweep.py::sweep_rays_train_box), which binds its static
+    (axis, flip, S, Pu, Pv) plan in a closure."""
 
     weight_tv_density = float(cfg_train.weight_tv_density)
     weight_tv_k0 = float(cfg_train.weight_tv_k0)
@@ -215,7 +312,7 @@ def make_train_step(model_mod, model_cfg, cfg_train, *, render_kwargs: dict,
         n_rays = rays_o.shape[0]
 
         def loss_fn(p):
-            out = model_mod.forward(
+            out = (forward_fn or model_mod.forward)(
                 model_cfg, p, buffers, rays_o, rays_d, viewdirs,
                 stepsize=rk["stepsize"], near=rk["near"], far=rk["far"],
                 bg=rk["bg"], rand_bkgd=rand_bkgd, is_train=True, key=key,
@@ -607,6 +704,27 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
         skip_zero_grad=skip_zero, near_thres=near_thres,
     )
 
+    # patch_box: slab-sweep bounded train path (static per-view plans; the
+    # gather forward serves as fallback when no dominant axis exists)
+    box_plans, box_step_for = None, None
+
+    def setup_box_steps(mcfg):
+        plans, pupv = compute_box_plans(mcfg, ray_lists, render_kwargs,
+                                        sample_batch.patch)
+        if plans is None:
+            print(f"scene_rep_reconstruction ({stage}): patch_box -> gather "
+                  f"fallback (no dominant axis / window too wide)")
+            return None, None
+        print(f"scene_rep_reconstruction ({stage}): patch_box slab-sweep ON "
+              f"(window {pupv}, plans {sorted(set(plans))})")
+        return plans, make_box_train_steps(
+            model_mod, mcfg, cfg_train, render_kwargs=render_kwargs,
+            skip_zero_grad=skip_zero, Pu=pupv[0], Pv=pupv[1],
+            near_thres=near_thres)
+
+    if cfg_train.ray_sampler == "patch_box" and model_mod is dvgo:
+        box_plans, box_step_for = setup_box_steps(model_cfg)
+
     # lr-decay clock: restored from the checkpoint (it resets at pg_scale
     # boundaries, so plain ``start`` is wrong after the first boundary)
     if "steps_since_reset" in meta_l:
@@ -621,6 +739,13 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
     gather_flat = jax.jit(lambda d, idx: tuple(d[k][idx] for k in ("rays_o", "rays_d", "viewdirs", "rgb")))
     gather_pix = jax.jit(
         lambda d, b, r, c: tuple(d[k][b, r, c] for k in ("rays_o", "rays_d", "viewdirs", "rgb"))
+    )
+    _pp = getattr(sample_batch, "patch", 8)
+    gather_patch = jax.jit(
+        lambda d, v, r, c: tuple(
+            jax.lax.dynamic_slice(d[k][v], (r, c, 0), (_pp, _pp, 3))
+            .reshape(-1, 3)
+            for k in ("rays_o", "rays_d", "viewdirs", "rgb"))
     )
 
     for global_step in range(1 + start, 1 + cfg_train.N_iters):
@@ -647,11 +772,22 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
                 model_mod, model_cfg, cfg_train, render_kwargs=render_kwargs,
                 skip_zero_grad=skip_zero, near_thres=near_thres,
             )
+            if box_step_for is not None:
+                # voxel_size halved: S and the slab window change
+                box_plans, box_step_for = setup_box_steps(model_cfg)
 
         # batch (run.py:479-506); indexed by step so resume replays the stream
         kind, sel = sample_batch(global_step - 1)
+        step_fn = train_step
         if kind == "flat":
             rays_o, rays_d, viewdirs, target = gather_flat(dev_flat, jnp.asarray(sel))
+        elif kind == "patch":
+            v, r, c = sel
+            rays_o, rays_d, viewdirs, target = gather_patch(
+                dev_flat, jnp.asarray(v), jnp.asarray(r), jnp.asarray(c)
+            )
+            if box_step_for is not None:
+                step_fn = box_step_for(*box_plans[v])
         else:
             b, r, c = sel
             rays_o, rays_d, viewdirs, target = gather_pix(
@@ -670,7 +806,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
             and global_step > cfg_train.tv_after
             and global_step % cfg_train.tv_every == 0
         )
-        params, opt_state, loss, psnr, vq_state = train_step(
+        params, opt_state, loss, psnr, vq_state = step_fn(
             params, buffers, opt_state, (rays_o, rays_d, viewdirs, target), lrs, per_lr,
             k_step, apply_tv=bool(apply_tv), tv_dense=bool(global_step < cfg_train.tv_dense_before),
         )
