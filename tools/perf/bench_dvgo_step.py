@@ -90,9 +90,64 @@ def main():
         float(np.asarray(p_["density"].reshape(-1)[0]))
         ts.append(time.perf_counter() - t0)
     step_ms = float(np.median(ts)) * 1e3
-    print(f"dvgo pretrain step (lego 160^3, N_rand 8192): {step_ms:.1f} ms "
-          f"-> {1e3 / step_ms:.1f} it/s; 20k iters = "
+    print(f"dvgo GATHER step (lego 160^3, N_rand 8192 random rays): "
+          f"{step_ms:.1f} ms -> {1e3 / step_ms:.1f} it/s; 20k iters = "
           f"{step_ms * 20e3 / 60e3:.1f} min", flush=True)
+
+    # --- patch_box slab-sweep train step on the same scene ---------------
+    # (coherent 88x88 patch = 7744 rays vs 8192 random; the TPU-native
+    # bounded train path, gradient parity in tests/test_box_train.py)
+    from fourk_nerf_tpu.ops import box_sweep
+
+    P = 88
+    r0, c0 = (H - P) // 2, (W - P) // 2
+    slp = (slice(r0, r0 + P), slice(c0, c0 + P))
+    ro_p = np.asarray(ro)[slp].reshape(-1, 3)
+    rd_p = np.asarray(rd)[slp].reshape(-1, 3)
+    vd_p = np.asarray(vd)[slp].reshape(-1, 3)
+    plan = box_sweep.box_train_plan(cfg, ro_p, rd_p,
+                                    stepsize=render_kwargs["stepsize"],
+                                    near=render_kwargs["near"])
+    if plan is None:
+        print("patch_box: no dominant axis for this camera", flush=True)
+        return
+    axis, flip, S = plan
+    pupv = box_sweep.box_window_size_for(
+        cfg, ro_p, rd_p, vd_p, stepsize=render_kwargs["stepsize"],
+        near=render_kwargs["near"], axis=axis, flip=flip, cap=96)
+    print(f"patch_box plan: axis={axis} flip={flip} S={S} window={pupv}",
+          flush=True)
+    if pupv is None:
+        return
+    box_step = trainer.make_box_train_steps(
+        dvgo, cfg, cfg_train, render_kwargs=render_kwargs,
+        skip_zero_grad=frozenset(cfg_train.skip_zero_grad_fields),
+        Pu=pupv[0], Pv=pupv[1])(axis, flip, S)
+    batch_p = tuple(jnp.asarray(x) for x in (ro_p, rd_p, vd_p)) + (
+        jnp.asarray(rng.uniform(0, 1, (P * P, 3)).astype(np.float32)),)
+
+    def bstep(p, o, i):
+        return box_step(p, buffers, o, batch_p, lrs, per_lr,
+                        jax.random.PRNGKey(i), apply_tv=False, tv_dense=False)
+
+    opt2 = optim.init_state({k: p_[k] for k in p_})
+    t0 = time.perf_counter()
+    out = bstep(p_, opt2, 0)
+    jax.block_until_ready(out[0]["density"])
+    print(f"[patch_box] compile+first step: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    ts = []
+    p2, o2 = out[0], out[1]
+    for i in range(10):
+        t0 = time.perf_counter()
+        out = bstep(p2, o2, i + 1)
+        p2, o2 = out[0], out[1]
+        float(np.asarray(p2["density"].reshape(-1)[0]))
+        ts.append(time.perf_counter() - t0)
+    bms = float(np.median(ts)) * 1e3
+    print(f"dvgo PATCH_BOX step (lego 160^3, {P}x{P} patch): {bms:.1f} ms "
+          f"-> {1e3 / bms:.1f} it/s; 20k iters = {bms * 20e3 / 60e3:.1f} min; "
+          f"speedup {step_ms / bms:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
