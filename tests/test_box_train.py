@@ -158,3 +158,22 @@ def test_loss_and_gradients_match():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(b), np.asarray(a), atol=5e-5), g_ref["rgbnet"],
         g_box["rgbnet"])
+
+
+def test_patch_box_sampler_is_step_indexed():
+    """Resume stability: the patch_box sampler is a pure function of
+    (seed, step) like every other sampler (trainer.make_batch_sampler)."""
+    from fourk_nerf_tpu.train.trainer import make_batch_sampler
+    flat = {"rgb": np.zeros((3, 40, 40, 3), np.float32)}
+    s1 = make_batch_sampler("patch_box", flat, n_rand=256, seed=5)
+    s2 = make_batch_sampler("patch_box", flat, n_rand=256, seed=5)
+    seq1 = [s1(i) for i in range(40)]
+    # replay out of order on a fresh sampler
+    seq2 = [s2(i) for i in reversed(range(40))][::-1]
+    assert seq1 == seq2
+    assert s1.patch == 16  # largest multiple of 8 with P^2 <= 256
+    kinds, sels = zip(*seq1)
+    assert set(kinds) == {"patch"}
+    # every (view, origin) combo visited once per epoch
+    n_combo = 3 * len({min(r, 40 - 16) for r in range(0, 40, 16)}) ** 2
+    assert len(set(sels[:n_combo])) == n_combo
