@@ -50,7 +50,7 @@ coarse_train = dict(
     lrate_decay=20,               # lr decays by 0.1 every lrate_decay*1000 steps
     pervoxel_lr=True,             # view-count-based per-voxel lr
     pervoxel_lr_downrate=1,       # image downsample rate for the view count
-    ray_sampler='random',         # random | flatten | in_maskcache | patch_simg | patch_mimg
+    ray_sampler='random',         # random | flatten | in_maskcache | patch_simg | patch_mimg | patch_box (TPU slab-sweep pretrain)
     weight_main=1.0,              # photometric loss
     weight_entropy_last=0.01,     # background entropy loss
     weight_nearclip=0,
