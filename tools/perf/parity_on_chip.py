@@ -135,7 +135,14 @@ def check_sr_body():
     d = np.abs(np.asarray(got) - np.asarray(ref))
     err = float(np.percentile(d, 99.9))
     assert err < 0.08, f"SR dense-block kernel parity (p99.9): {err}"
-    return err
+    # whole-RRDB fused variant (round 3): same oracle, same bound
+    got_f = jax.jit(lambda p, x_, c_: pallas_sr.sftnet_apply_pallas(
+        p, x_, c_, scale=4, num_block=5, th=48, tw=128,
+        fuse_rrdb=True))(sr_params, x, c)
+    d_f = np.abs(np.asarray(got_f) - np.asarray(ref))
+    err_f = float(np.percentile(d_f, 99.9))
+    assert err_f < 0.08, f"fused-RRDB kernel parity (p99.9): {err_f}"
+    return max(err, err_f)
 
 
 def main():
