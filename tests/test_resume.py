@@ -124,3 +124,30 @@ def test_joint_resume_restores_sr_disc_and_optimizers(tmp_path):
     _, _, p_res, _, _, sr_res = _run_joint(str(tmp_path / "B"), 8, dd)
     _assert_trees_equal(p_full, p_res)
     _assert_trees_equal(sr_full, sr_res)
+
+
+def test_encoder_resume_bit_exact_patch_box(tmp_path):
+    """Resume stability holds for the patch_box slab-sweep train path too
+    (step-indexed patch sampler + per-view static plans)."""
+    data_dict = _make_synthetic_scene()
+
+    def run(basedir, n_iters):
+        cfg = _enc_cfg(basedir, n_iters)
+        cfg.fine_train.ray_sampler = "patch_box"
+        args = types.SimpleNamespace(
+            seed=0, no_reload=False, no_reload_optimizer=False,
+            ft_path="", i_print=100, i_val=0, i_weights=0,
+        )
+        xyz_min, xyz_max = trainer.compute_bbox_by_cam_frustrm(
+            cfg, data_dict["HW"], data_dict["Ks"], data_dict["poses"],
+            data_dict["i_train"], data_dict["near"], data_dict["far"],
+        )
+        return trainer.scene_rep_reconstruction(
+            args, cfg, cfg.fine_model_and_render, cfg.fine_train,
+            xyz_min, xyz_max, data_dict, stage="fine",
+        )
+
+    _, _, p_full, _ = run(str(tmp_path / "A"), 20)
+    run(str(tmp_path / "B"), 10)
+    _, _, p_resumed, _ = run(str(tmp_path / "B"), 20)
+    _assert_trees_equal(p_full, p_resumed)
