@@ -60,12 +60,36 @@ def load_trained_fern_scale():
     return cfg, params, buffers
 
 
+def _startup_watchdog(seconds: float = 300.0):
+    """Fail FAST if backend init hangs: a SIGKILLed client can wedge the
+    tunneled TPU's claim for hours, after which ``jax.devices()`` blocks
+    uninterruptibly (see memory/axon-tunnel-perf).  Dying with a clear
+    message beats silently eating the caller's whole timeout."""
+    import threading
+
+    done = threading.Event()
+
+    def check():
+        if not done.wait(seconds):
+            print(f"# bench: backend did not initialize within {seconds:.0f}s "
+                  "(tunneled TPU claim wedged?); aborting", flush=True)
+            os._exit(3)
+
+    threading.Thread(target=check, daemon=True).start()
+    return done
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true",
                     help="run the on-chip Pallas parity gate first "
                          "(tools/perf/parity_on_chip.py)")
     args = ap.parse_args()
+
+    wd = _startup_watchdog()
+    import jax as _jax
+    _jax.devices()
+    wd.set()
     if args.check:
         import sys
         sys.path.insert(0, os.path.join(os.path.dirname(
