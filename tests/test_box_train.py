@@ -177,3 +177,19 @@ def test_patch_box_sampler_is_step_indexed():
     # every (view, origin) combo visited once per epoch
     n_combo = 3 * len({min(r, 40 - 16) for r in range(0, 40, 16)}) ** 2
     assert len(set(sels[:n_combo])) == n_combo
+
+
+def test_native_mask_mode_matches_gather():
+    """Mask at a DIFFERENT resolution than the grid exercises the
+    native-mask branch of the train sweep (per-slab mask plane stack,
+    snapped one-hot lookups in mask index space)."""
+    cfg, params, buffers, ro, rd, vd = _scene()
+    rng = np.random.default_rng(11)
+    m = rng.uniform(size=(25, 27, 23)) < 0.6  # != world_size
+    buffers = dict(buffers)
+    buffers["mask_cache"] = jnp.asarray(m)
+    ref, got = _both(cfg, params, buffers, ro, rd, vd)
+    np.testing.assert_allclose(np.asarray(got["rgb_marched"]),
+                               np.asarray(ref["rgb_marched"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got["alphainv_last"]),
+                               np.asarray(ref["alphainv_last"]), atol=2e-5)
