@@ -198,11 +198,20 @@ def main():
         # tests/test_sr.py (sub-1e-2 absolute on [0,1] images)
         return sr_esrnet.apply_bf16(sr_model, p, x, c)
 
+    # Decode variant knobs (same surface as run_sr.py's video path); the
+    # defaults are the measured winners from tools/perf/sweep_sr_tiles.py on
+    # TPU v5 lite — override to re-measure alternatives.
+    _fuse = os.environ.get("FOURK_SR_FUSE_RRDB", "0") == "1"
+    _upchain = os.environ.get("FOURK_SR_UPCHAIN", "materialized")
+    _th, _tw = (int(v) for v in
+                os.environ.get("FOURK_SR_TILE", "48x128").split("x"))
+
     @jax.jit
     def sr_pallas(p, x, c):
         # fused dense-block decode: VMEM-resident RRDB body (ops/pallas_sr.py)
         return pallas_sr.sftnet_apply_pallas(p, x, c, scale=sr_scale,
-                                             num_block=5, th=48, tw=128)
+                                             num_block=5, th=_th, tw=_tw,
+                                             fuse_rrdb=_fuse, upchain=_upchain)
 
     use_sr_pallas = [True]
 
