@@ -111,6 +111,10 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
         "alphainv_last": alphainv_last,
         "weights": weights,
         "rgb_marched": rgb_marched,
+        # The reference's DirectQVGO has no dim_rend feature head / rend_layer
+        # (/root/reference/lib/dvqgo.py renders 3-ch color only, unlike
+        # dmpigo) -- so rgb_feature here is the marched color, and this model
+        # cannot condition a dim_rend>3 SR decoder. Parity, not a gap.
         "rgb_feature": rgb_marched,
         "raw_alpha": jnp.where(valid, alpha, 0.0),
         "raw_rgb": rgb_raw,

@@ -333,7 +333,7 @@ def tile_process_sharded(apply_fn, params, img, cond, tile_size: int,
     only collective is the output all-gather XLA inserts for the paste.
     Exactly equal to the single-device path (tests/test_parallel.py)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.4.35 top-level API
 
     _, H, W, C = img.shape
     ts, tp = tile_size, tile_pad
@@ -373,7 +373,7 @@ def tile_process_sharded(apply_fn, params, img, cond, tile_size: int,
     with mesh:
         cores = shard_map(
             shard_fwd, mesh=mesh, in_specs=(P(axis), P(axis)),
-            out_specs=P(axis), check_rep=False,
+            out_specs=P(axis), check_vma=False,
         )(jax.device_put(tiles, sharded), jax.device_put(cond_tiles, sharded))
     cores = cores[:nt]
     hs = ts * scale

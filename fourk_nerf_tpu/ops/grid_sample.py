@@ -153,6 +153,38 @@ def resize_trilinear(grid, new_size):
     return trilinear_sample(grid, ind01)
 
 
+def resize_trilinear_chunked(grid, new_size, z_chunk: int = 32):
+    """Memory-bounded, jitted variant of :func:`resize_trilinear`.
+
+    Computes the output in z-slabs of ``z_chunk`` planes, each under one jit
+    (one compile serves all slabs: the slab origin is a traced scalar).  A
+    fern-scale upsample (384x384x256 target, 37.7M query points) dispatched
+    eagerly OOMs a 16 GB chip because every 8-corner temporary materializes;
+    slab-wise jit bounds the peak to one slab's worth of temporaries.
+
+    Same semantics as the reference's progressive-scaling resize
+    (/root/reference/lib/grid.py:130-135, align_corners=True).
+    """
+    nx, ny, nz = (int(s) for s in new_size)
+    dt = grid.dtype
+
+    def axis_u(n):
+        return (jnp.arange(n, dtype=dt) / (n - 1) if n > 1
+                else jnp.zeros(n, dtype=dt))
+
+    ux, uy = axis_u(nx), axis_u(ny)
+
+    @jax.jit
+    def sample_slab(grid, z0):
+        uz = (z0 + jnp.arange(z_chunk, dtype=dt)) / max(nz - 1, 1)
+        gx, gy, gz = jnp.meshgrid(ux, uy, uz, indexing="ij")
+        return trilinear_sample(grid, jnp.stack([gx, gy, gz], axis=-1))
+
+    slabs = [sample_slab(grid, jnp.asarray(z0, dt))
+             for z0 in range(0, nz, z_chunk)]
+    return jnp.concatenate(slabs, axis=2)[:, :, :nz]
+
+
 def max_pool3d_same(x):
     """3x3x3 max pool, stride 1, 'same' padding over ``[X, Y, Z]``.
 

@@ -70,7 +70,7 @@ def all_reduce_dict(mesh: Mesh, d: dict, axis: str = "data") -> dict:
     whose leading dim equals the axis size (one value per device, e.g. a
     per-shard loss). Returns replicated device scalars (the mean)."""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.4.35 top-level API
 
     n = mesh.shape[axis]
 

@@ -138,13 +138,39 @@ def gather_training_rays(cfg, cfg_train, data_dict, model_mod=None, model_state=
                      "patch_box"):
         flat = {k: np.stack(v, 0) for k, v in ray_lists.items()}  # [V,H,W,3]
         mode = "image"
+        if (sampler == "patch_inmask" and model_state is not None
+                and hasattr(model_mod, "hit_coarse_geo")):
+            # per-view coarse-geometry hit maps for patch filtering
+            # (/root/reference/lib/dvgo.py:786-820: patches whose rays all
+            # miss the occupancy cache are dropped from the rotation).
+            # Host-side, startup-only; stored under the reserved "_hit" key
+            # the trainer pops before device upload.
+            cfg_m, params, buffers = model_state
+            hit_fn = jax.jit(
+                lambda ro, rd: model_mod.hit_coarse_geo(
+                    cfg_m, buffers, ro, rd,
+                    near=render_kwargs["near"], far=render_kwargs["far"],
+                    stepsize=render_kwargs["stepsize"],
+                )
+            )
+            hits = []
+            for v in range(len(ray_lists["rgb"])):
+                H, W = ray_lists["rays_o"][v].shape[:2]
+                ro = ray_lists["rays_o"][v].reshape(-1, 3)
+                rd = ray_lists["rays_d"][v].reshape(-1, 3)
+                chunks = [np.asarray(hit_fn(jnp.asarray(ro[s:s + 65536]),
+                                            jnp.asarray(rd[s:s + 65536])))
+                          for s in range(0, ro.shape[0], 65536)]
+                hits.append(np.concatenate(chunks).reshape(H, W))
+            flat["_hit"] = np.stack(hits, 0)  # [V,H,W] bool
     else:
         raise NotImplementedError(sampler)
 
     return flat, mode, ray_lists
 
 
-def make_batch_sampler(sampler: str, flat: dict, n_rand: int, seed: int):
+def make_batch_sampler(sampler: str, flat: dict, n_rand: int, seed: int,
+                       hit: np.ndarray | None = None):
     """Host-side index sampler matching the reference's samplers
     (lib/dvgo.py:761-819).
 
@@ -203,6 +229,54 @@ def make_batch_sampler(sampler: str, flat: dict, n_rand: int, seed: int):
                 cache["order"] = np.random.default_rng(
                     (seed, epoch)).permutation(len(combos))
             return ("patch", combos[cache["order"][i]])
+
+        sample.patch = P
+        return sample
+    if sampler in ("patch_simg", "patch_mimg", "patch_inmask"):
+        # Encoder-side coherent-patch samplers. The reference tiles each
+        # image into (N_rand//64)-sided patches plus ragged edge strips
+        # (/root/reference/lib/dvgo.py:786-878). We use the same
+        # grid-aligned-origins-clamped-to-border scheme as the joint SR
+        # sampler (static square patches -> one jit compile; the edge
+        # re-weighting deviation is quantified in
+        # tests/test_patch_weighting.py). NOTE the reference's OWN run.py
+        # consumers of patch_simg/patch_mimg are dead code: the generators
+        # yield 2 and 6 values while run.py:485-496 unpacks exactly 3, so
+        # the working semantics mirrored here are run_sr.py:822-843's.
+        V, H, W = flat["rgb"].shape[:3]
+        P = max((min(n_rand // 64, H, W) // 8) * 8, 8)
+        rows = sorted({min(r, H - P) for r in range(0, H, P)})
+        cols = sorted({min(c, W - P) for c in range(0, W, P)})
+        pos = [(r, c) for r in rows for c in cols]
+        if sampler == "patch_simg":
+            # 'single image': exhaust one view's patches (shuffled) before
+            # advancing to the next view (lib/dvgo.py:822-848 tiles a single
+            # image and yields no view index).
+            def sample(step: int):
+                block, i = divmod(step, len(pos))
+                rng = np.random.default_rng((seed, block))
+                r, c = pos[rng.permutation(len(pos))[i]]
+                return ("patch", (block % V, r, c))
+        else:
+            # 'multi image' / 'inmask': shuffle over (view x position);
+            # inmask drops patches whose rays all miss the coarse occupancy
+            # cache (lib/dvgo.py:786-820 keeps patches with >2048 hits; we
+            # keep any-hit, the same criterion the SR trainer uses).
+            combos = [(v, r, c) for v in range(V) for (r, c) in pos]
+            if sampler == "patch_inmask" and hit is not None:
+                kept = [(v, r, c) for (v, r, c) in combos
+                        if hit[v][r:r + P, c:c + P].any()]
+                if kept:  # never filter down to nothing
+                    combos = kept
+            cache = {"epoch": -1, "order": None}
+
+            def sample(step: int):
+                epoch, i = divmod(step, len(combos))
+                if cache["epoch"] != epoch:
+                    cache["epoch"] = epoch
+                    cache["order"] = np.random.default_rng(
+                        (seed, epoch)).permutation(len(combos))
+                return ("patch", combos[cache["order"][i]])
 
         sample.patch = P
         return sample
@@ -664,7 +738,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
         model_mod=model_mod, model_state=(model_cfg, params, buffers),
         render_kwargs=render_kwargs,
     )
-    sample_batch = make_batch_sampler(cfg_train.ray_sampler, flat, cfg_train.N_rand, seed)
+    hit = flat.pop("_hit", None)
+    sample_batch = make_batch_sampler(cfg_train.ray_sampler, flat, cfg_train.N_rand,
+                                      seed, hit=hit)
 
     dev_flat = {k: jnp.asarray(v) for k, v in flat.items()}
 

@@ -85,3 +85,17 @@ def test_max_pool3d_same():
     ours = np.asarray(grid_sample.max_pool3d_same(jnp.asarray(x)))
     ref = maximum_filter(x, size=3, mode="constant", cval=-np.inf)
     assert np.allclose(ours, ref)
+
+
+def test_resize_trilinear_chunked_matches_unchunked():
+    # The memory-bounded slab variant bench.py uses for the trained anchor
+    # must match the reference resize (to jit-vs-eager float reassociation,
+    # ~1 ulp), including when nz is not a multiple of z_chunk (trailing slab
+    # is cropped).
+    rng = np.random.default_rng(3)
+    grid = jnp.asarray(rng.normal(size=(5, 6, 7, 2)).astype(np.float32))
+    for new_size, z_chunk in [((9, 4, 11), 4), ((9, 4, 12), 4), ((3, 3, 1), 8)]:
+        ref = grid_sample.resize_trilinear(grid, new_size)
+        chk = grid_sample.resize_trilinear_chunked(grid, new_size, z_chunk=z_chunk)
+        assert chk.shape == ref.shape
+        assert np.allclose(np.asarray(ref), np.asarray(chk), atol=1e-5)

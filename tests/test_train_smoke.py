@@ -141,3 +141,35 @@ def test_end_to_end_training_improves_psnr(tiny_cfg):
         stepsize=0.5, near=2.0, far=6.0, bg=1.0,
     )
     assert np.isfinite(np.asarray(out["rgb_marched"])).all()
+
+
+def test_end_to_end_training_patch_inmask(tiny_cfg, tmp_path):
+    """Encoder-side patch samplers drive training end-to-end: the fine stage
+    uses 'patch_inmask' (coarse-geometry-filtered coherent patches,
+    /root/reference/lib/dvgo.py:786-820 + run_sr.py:836-843 semantics)."""
+    import copy
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.basedir = str(tmp_path)
+    cfg.expname = "smoke_patch"
+    cfg.fine_train.ray_sampler = "patch_inmask"
+    cfg.fine_train.N_rand = 8 * 64  # patch side 8 on the 16px images
+    data_dict = _make_synthetic_scene()
+    args = types.SimpleNamespace(
+        seed=0, no_reload=True, ft_path="", i_print=20, i_val=0, i_weights=0,
+    )
+    model_mod, model_cfg, params, buffers = trainer.train(args, cfg, data_dict)
+
+    render_kwargs = {"near": 2.0, "far": 6.0, "bg": 1.0, "stepsize": 0.5}
+    res = trainer.render_viewpoints(
+        model_mod, model_cfg, params, buffers,
+        data_dict["poses"][data_dict["i_val"]],
+        data_dict["HW"][data_dict["i_val"]],
+        data_dict["Ks"][data_dict["i_val"]],
+        cfg=cfg, render_kwargs=render_kwargs,
+        gt_imgs=[data_dict["images"][i] for i in data_dict["i_val"]],
+        eval_ssim=False, chunk=256,
+    )
+    gt = data_dict["images"][data_dict["i_val"][0]]
+    baseline_psnr = -10 * np.log10(np.mean((np.ones_like(gt) - gt) ** 2))
+    assert res["psnrs"][0] > baseline_psnr + 2, (res["psnrs"], baseline_psnr)
