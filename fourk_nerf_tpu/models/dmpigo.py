@@ -265,9 +265,13 @@ def forward(cfg: Config, params: dict, buffers: dict, rays_o, rays_d, viewdirs, 
 # ---------------------------------------------------------------------------
 
 def _grid_xyz(cfg: Config, shape):
-    xs = [np.linspace(cfg.xyz_min[d], cfg.xyz_max[d], shape[d]) for d in range(3)]
-    gx, gy, gz = np.meshgrid(*xs, indexing="ij")
-    return jnp.asarray(np.stack([gx, gy, gz], axis=-1), dtype=jnp.float32)
+    # Traced (iota-based) coordinates: a numpy meshgrid here would be baked
+    # into the HLO as a full-grid f32 constant when called under jit (~450 MB
+    # at fern mask-cache scale), overflowing the remote-compile payload.
+    xs = [jnp.linspace(cfg.xyz_min[d], cfg.xyz_max[d], int(shape[d]),
+                       dtype=jnp.float32) for d in range(3)]
+    gx, gy, gz = jnp.meshgrid(*xs, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1)
 
 
 def update_occupancy_cache(cfg: Config, params: dict, buffers: dict) -> dict:
