@@ -458,15 +458,25 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
     # The perceptual/style loss REQUIRES pretrained VGG19 weights: silently
     # training a different objective than the config declares is worse than
     # refusing to start (reference wires basicsr PerceptualLoss
-    # unconditionally when weight_pcp > 0, run_sr.py:670-678). Escape hatch:
-    # fine_train.allow_missing_vgg = True drops the term EXPLICITLY.
+    # unconditionally when weight_pcp > 0, run_sr.py:670-678). Escape
+    # hatches, both EXPLICIT: fine_train.allow_missing_vgg = True drops the
+    # term; fine_train.allow_random_vgg = True runs it on a deterministic
+    # fixed-seed randomly-initialized tower (random convnet features are a
+    # known perceptual baseline -- keeps every published loss term live in
+    # zero-egress images, but is NOT the published objective's VGG).
     perceptual = None
     if cfg_train.get("weight_pcp", 0) > 0:
         try:
             perceptual = sr_losses.PerceptualLoss(
                 perceptual_weight=cfg_train.weight_pcp,
                 style_weight=cfg_train.get("weight_style", 0),
+                allow_random_vgg=cfg_train.get("allow_random_vgg", False),
             )
+            if (cfg_train.get("allow_random_vgg", False)
+                    and sr_losses.find_vgg19_weights() is None):
+                print(f"sr ({stage}): WARNING perceptual/style loss running "
+                      "on the fixed-seed RANDOM VGG tower (allow_random_vgg; "
+                      "no pretrained weights found)")
         except FileNotFoundError as e:
             if cfg_train.get("allow_missing_vgg", False):
                 print(f"sr ({stage}): WARNING perceptual loss DISABLED by "
@@ -690,7 +700,7 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
         for k, t in terms.items():
             collector.report(f"train/{k}", stats_mod.moments(t))
 
-        if global_step % args.i_print == 0:
+        if args.i_print and global_step % args.i_print == 0:
             eps = time.time() - time0
             means = {k: st.mean for k, st in sorted(collector.as_dict().items())}
             info = f"sr ({stage}): iter {global_step:6d} / " + " ".join(
@@ -713,14 +723,19 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                     if isinstance(vv, float):
                         writer.scalar(f"val/{k}", vv, global_step)
             gate = val.get("lpips_sr")
-            if gate is None:
-                # reference gates best-checkpoints strictly on LPIPS
-                # (run_sr.py:1150-1156); without the torch lpips package we
-                # can only gate on PSNR -- say so loudly, once
-                if best_psnr == -np.inf:
+            if best_psnr == -np.inf:  # first val: announce the gating mode once
+                if gate is None:
+                    # reference gates best-checkpoints strictly on LPIPS
+                    # (run_sr.py:1150-1156); with LPIPS entirely disabled we
+                    # can only gate on PSNR -- say so loudly
                     print(f"sr ({stage}): WARNING lpips unavailable -- best "
                           "checkpoint gated on PSNR instead of LPIPS "
                           "(reference gates on LPIPS)")
+                elif val.get("lpips_sr_is_proxy"):
+                    print(f"sr ({stage}): best checkpoint gated on the "
+                          "deterministic random-feature LPIPS PROXY (torch "
+                          "lpips package absent; values not comparable to "
+                          "published LPIPS)")
             improved = (gate is not None and gate < best_lpips) or (
                 gate is None and val["psnr_sr"] > best_psnr
             )
@@ -811,6 +826,7 @@ def evaluate_sr(args, cfg, cfg_model, model_mod, model_cfg, params, buffers,
     apply_fn = jax.jit(lambda p, x, c: sr_model.apply({"params": p}, x, c))
     num_cond = int(cfg_model.get("num_cond", 1))
     psnrs, ssims, lpips_vals = [], [], []
+    lpips_proxy = False
     sr_frames = []
     tile = int(getattr(args, "test_tile", 0) or 0)
     for fi in range(len(idx)):
@@ -841,6 +857,13 @@ def evaluate_sr(args, cfg, cfg_model, model_mod, model_cfg, params, buffers,
             lp = metrics.rgb_lpips(gt, sr, "vgg")
             if lp is not None:
                 lpips_vals.append(lp)
+            else:
+                # the torch lpips package is absent: fall back to the
+                # deterministic fixed-seed proxy so LPIPS-gated best-ckpt
+                # selection (run_sr.py:1150-1156) still runs the reference's
+                # mechanism (values NOT comparable to published LPIPS)
+                lpips_proxy = True
+                lpips_vals.append(metrics.rgb_lpips_proxy(gt, sr))
     out = {
         "psnr_sr": float(np.mean(psnrs)),
         "ssim_sr": float(np.mean(ssims)),
@@ -849,6 +872,8 @@ def evaluate_sr(args, cfg, cfg_model, model_mod, model_cfg, params, buffers,
     }
     if lpips_vals:
         out["lpips_sr"] = float(np.mean(lpips_vals))
+        out["lpips_sr_is_proxy"] = lpips_proxy
     print(f"evaluate_sr: psnr {out['psnr_sr']:.2f} ssim {out['ssim_sr']:.4f}"
-          + (f" lpips {out['lpips_sr']:.4f}" if "lpips_sr" in out else ""))
+          + (f" lpips{'(proxy)' if lpips_proxy else ''} "
+             f"{out['lpips_sr']:.4f}" if "lpips_sr" in out else ""))
     return out

@@ -30,7 +30,18 @@ from fourk_nerf_tpu.utils import metrics, misc, stats as stats_mod
 # bbox estimation (run.py:209-278)
 # ---------------------------------------------------------------------------
 
-def compute_bbox_by_cam_frustrm(cfg, HW, Ks, poses, i_train, near, far):
+def compute_bbox_by_cam_frustrm(cfg, HW, Ks, poses, i_train, near, far,
+                                near_clip=None):
+    """Scene bbox from the training camera frusta (run.py:207-254).
+
+    Unbounded-inward scenes get the reference's separate rule
+    (_compute_bbox_by_cam_frustrm_unbounded, run.py:223-239): the tightest
+    cube covering all near_clip points, scaled by unbounded_inner_r --
+    contraction handles everything outside it."""
+    if cfg.data.get("unbounded_inward", False):
+        return _compute_bbox_unbounded(
+            cfg, HW, Ks, poses, i_train,
+            near if near_clip is None else near_clip)
     xyz_min = np.full(3, np.inf)
     xyz_max = -xyz_min
     for i in i_train:
@@ -48,6 +59,25 @@ def compute_bbox_by_cam_frustrm(cfg, HW, Ks, poses, i_train, near, far):
         xyz_min = np.minimum(xyz_min, pts_nf.reshape(-1, 3).min(0))
         xyz_max = np.maximum(xyz_max, pts_nf.reshape(-1, 3).max(0))
     return xyz_min, xyz_max
+
+
+def _compute_bbox_unbounded(cfg, HW, Ks, poses, i_train, near_clip):
+    xyz_min = np.full(3, np.inf)
+    xyz_max = -xyz_min
+    for i in i_train:
+        H, W = HW[i]
+        rays_o, rays_d, _ = ray_ops.get_rays_of_a_view(
+            int(H), int(W), Ks[i], poses[i], ndc=cfg.data.ndc,
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+            flip_y=cfg.data.flip_y,
+        )
+        pts = np.asarray(rays_o + rays_d * float(near_clip)).reshape(-1, 3)
+        xyz_min = np.minimum(xyz_min, pts.min(0))
+        xyz_max = np.maximum(xyz_max, pts.max(0))
+    center = (xyz_min + xyz_max) * 0.5
+    radius = float((center - xyz_min).max()) * float(
+        cfg.data.get("unbounded_inner_r", 1.0))
+    return center - radius, center + radius
 
 
 def compute_bbox_by_coarse_geo(model_mod, ckpt_path, thres):
@@ -705,7 +735,9 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
             model_cfg = _make_cfg(model_mod, cfg, xyz_min, xyz_max, num_voxels, model_kwargs)
         key, k_init = jax.random.split(key)
         params, buffers = model_mod.init(model_cfg, k_init, init_mask=init_mask)
-        if cfg_model.maskout_near_cam_vox and not cfg.data.ndc:
+        # only DirectVoxGO implements near-camera voxel maskout (reference
+        # lib/dvgo.py:187; run.py:364 would AttributeError on other models)
+        if cfg_model.maskout_near_cam_vox and model_mod is dvgo:
             params = dvgo.maskout_near_cam_vox(
                 model_cfg, params, poses[i_train, :3, 3], near
             )
@@ -892,7 +924,7 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
         collector.report("train/loss", stats_mod.moments(loss))
         collector.report("train/psnr", stats_mod.moments(psnr))
 
-        if global_step % args.i_print == 0:
+        if args.i_print and global_step % args.i_print == 0:
             eps = time.time() - time0
             print(
                 f"scene_rep_reconstruction ({stage}): iter {global_step:6d} / "
@@ -978,7 +1010,7 @@ def train(args, cfg, data_dict, writer=None):
     os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
     xyz_min, xyz_max = compute_bbox_by_cam_frustrm(
         cfg, data_dict["HW"], data_dict["Ks"], data_dict["poses"], data_dict["i_train"],
-        data_dict["near"], data_dict["far"],
+        data_dict["near"], data_dict["far"], near_clip=data_dict.get("near_clip"),
     )
     coarse_ckpt_path = None
     if cfg.coarse_train.N_iters > 0:

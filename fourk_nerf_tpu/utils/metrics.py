@@ -76,6 +76,58 @@ def visualize_depth(depth, minmax=None):
     return cv2.applyColorMap(x, cv2.COLORMAP_JET)
 
 
+_LPIPS_PROXY_FILTERS: dict = {}
+
+
+def _lpips_proxy_filters(n_feats: int, seed: int) -> np.ndarray:
+    key = (n_feats, seed)
+    if key not in _LPIPS_PROXY_FILTERS:
+        rng = np.random.default_rng(seed)
+        f = rng.normal(size=(3, 3, 3, n_feats)).astype(np.float32)
+        f -= f.mean(axis=(0, 1), keepdims=True)  # zero-mean: edge-sensitive
+        f /= np.sqrt(np.sum(f * f, axis=(0, 1, 2), keepdims=True))
+        _LPIPS_PROXY_FILTERS[key] = f
+    return _LPIPS_PROXY_FILTERS[key]
+
+
+def _random_feats(img: np.ndarray, filters: np.ndarray) -> np.ndarray:
+    """'valid' 3x3 conv + relu + per-pixel unit normalization over channels."""
+    win = np.lib.stride_tricks.sliding_window_view(img, (3, 3), axis=(0, 1))
+    # win: [H-2, W-2, 3(ch), 3, 3]; filters: [3, 3, 3(ch), C]
+    feat = np.einsum("hwcij,ijcf->hwf", win, filters, optimize=True)
+    feat = np.maximum(feat, 0.0)
+    return feat / (np.linalg.norm(feat, axis=-1, keepdims=True) + 1e-8)
+
+
+def rgb_lpips_proxy(gt, im, n_scales: int = 3, n_feats: int = 24,
+                    seed: int = 0) -> float:
+    """Deterministic LPIPS-style perceptual distance from a FIXED-SEED
+    random-feature pyramid (per scale: random 3x3 conv -> relu -> unit
+    normalization -> squared difference, averaged over space and summed over
+    scales -- the LPIPS recipe with a random tower in place of a pretrained
+    one; random convnet features are a known perceptual-metric baseline).
+
+    NOT the published LPIPS metric: absolute values are not comparable to
+    ``lpips``. It exists so LPIPS-gated best-checkpoint selection
+    (/root/reference/run_sr.py:1150-1156) can exercise the same *mechanism*
+    when the torch ``lpips`` package is absent (zero-egress images)."""
+    a = np.asarray(gt, dtype=np.float32)
+    b = np.asarray(im, dtype=np.float32)
+    assert a.shape == b.shape and a.ndim == 3 and a.shape[-1] == 3
+    total = 0.0
+    for s in range(n_scales):
+        if min(a.shape[0], a.shape[1]) < 3:
+            break
+        filters = _lpips_proxy_filters(n_feats, seed + s)
+        fa, fb = _random_feats(a, filters), _random_feats(b, filters)
+        total += float(np.mean(np.sum((fa - fb) ** 2, axis=-1)))
+        if s + 1 < n_scales:
+            ha, wa = (a.shape[0] // 2) * 2, (a.shape[1] // 2) * 2
+            a = a[:ha, :wa].reshape(ha // 2, 2, wa // 2, 2, 3).mean(axis=(1, 3))
+            b = b[:ha, :wa].reshape(ha // 2, 2, wa // 2, 2, 3).mean(axis=(1, 3))
+    return total
+
+
 _LPIPS_CACHE: dict = {}
 
 

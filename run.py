@@ -115,6 +115,7 @@ def main():
         xyz_min, xyz_max = trainer.compute_bbox_by_cam_frustrm(
             cfg, data_dict["HW"], data_dict["Ks"], data_dict["poses"],
             data_dict["i_train"], data_dict["near"], data_dict["far"],
+            near_clip=data_dict.get("near_clip"),
         )
         np.savez_compressed(
             args.export_bbox_and_cams_only,

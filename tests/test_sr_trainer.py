@@ -45,6 +45,36 @@ def _data_with_srgt():
     return dd
 
 
+def test_joint_step_published_objective(joint_cfg, tmp_path):
+    """The FULL published objective (l1 + perceptual 0.5 + style 0.2 +
+    gan 0.05, reference configs/llff/fern_lg_joint_l1+gan.py:17-19) trains
+    with every loss term live, using the fixed-seed random VGG tower
+    (fine_train.allow_random_vgg) in place of the unavailable pretrained
+    weights."""
+    import copy
+
+    cfg = copy.deepcopy(joint_cfg)
+    cfg.basedir = str(tmp_path)
+    cfg.expname = "joint_pcp"
+    cfg.fine_train.weight_pcp = 0.5
+    cfg.fine_train.weight_style = 0.2
+    cfg.fine_train.weight_gan = 0.05
+    cfg.fine_train.allow_random_vgg = True
+    dd = _data_with_srgt()
+    args = types.SimpleNamespace(
+        seed=0, no_reload=True, ftdv_path="", ftsr_path="", i_print=4,
+        i_val=0, i_weights=0, test_tile=0,
+    )
+    xyz_min, xyz_max = trainer.compute_bbox_by_cam_frustrm(
+        cfg, dd["HW"], dd["Ks"], dd["poses"], dd["i_train"], dd["near"],
+        dd["far"])
+    sr_trainer.scene_rep_reconstruction_sr_patch(
+        args, cfg, cfg.fine_model_and_render, cfg.fine_train,
+        xyz_min, xyz_max, dd, stage="fine")
+    assert os.path.exists(os.path.join(cfg.basedir, "joint_pcp",
+                                       "fine_last.npz"))
+
+
 def test_joint_training_step_runs_and_saves(joint_cfg):
     dd = _data_with_srgt()
     args = types.SimpleNamespace(
