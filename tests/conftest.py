@@ -30,6 +30,8 @@ def pytest_configure(config):
     )
     config.addinivalue_line(
         "markers",
-        "slow: multi-minute tests (subprocess/distributed) -- deselect "
-        "with `-m 'not slow'` for a faster full pass",
+        "slow: multi-minute tests (subprocess/resume-bit-exactness/"
+        "interpret-mode Pallas parity) -- EXCLUDED from the default pass "
+        "by pytest.ini's `addopts = -m \"not slow\"`; run them with "
+        "`pytest -m slow tests/`, or everything with `pytest -m '' tests/`",
     )

@@ -1,4 +1,6 @@
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +39,7 @@ def test_bg_points_live_in_shell():
     assert np.all(np.abs(np.asarray(pts)) <= 1.0 + 1e-4)
 
 
+@pytest.mark.slow
 def test_forward_composites_fg_over_bg():
     cfg, params, buffers = _tiny()
     ro, rd, vd = _rays()
@@ -63,6 +66,7 @@ def test_get_kwargs_roundtrip():
     assert cfg2.bg_preserve == cfg.bg_preserve
 
 
+@pytest.mark.slow
 def test_tensorf_grid_dispatch_bivox():
     """dbvgo dual fields accept TensoRF grids (reference create_grid is
     grid-type-generic, /root/reference/lib/grid.py:27-35)."""

@@ -1,4 +1,6 @@
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -90,6 +92,7 @@ def test_get_kwargs_roundtrip():
     assert abs(cfg2.voxel_size - cfg.voxel_size) < 1e-9
 
 
+@pytest.mark.slow
 def test_tensorf_grid_dispatch():
     """dcvgo accepts TensoRF grids like the reference's grid-type-generic
     create_grid (/root/reference/lib/grid.py:27-35)."""

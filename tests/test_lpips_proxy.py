@@ -59,6 +59,7 @@ def test_proxy_detects_blur_and_prefers_true_image():
     assert 0 < d_blur < d_shuf
 
 
+@pytest.mark.slow
 def test_evaluate_sr_falls_back_to_proxy(monkeypatch, tmp_path):
     """When torch-lpips is absent, evaluate_sr reports a proxy lpips_sr and
     flags it; the trainer's first-val announcement names the proxy."""

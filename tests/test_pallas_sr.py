@@ -37,6 +37,7 @@ def test_rdb_kernel_matches_module():
                                  - ref.astype(jnp.float32)))) < 0.05
 
 
+@pytest.mark.slow
 def test_rrdb_tail_fusion_matches_module():
     """rdb3 call with the RRDB trailing SFT + residual fused in."""
     rng = np.random.default_rng(3)
@@ -64,6 +65,7 @@ def test_rrdb_tail_fusion_matches_module():
                                  - ref.astype(jnp.float32)))) < 0.08
 
 
+@pytest.mark.slow
 def test_full_net_matches_xla():
     H, W, th, tw = 45, 70, 16, 32
     rng = np.random.default_rng(0)
@@ -95,6 +97,7 @@ def test_full_net_matches_xla():
     assert float(jnp.max(jnp.abs(got_f - ref))) < 0.08
 
 
+@pytest.mark.slow
 def test_fused_rrdb_chains_blocks():
     """Two RRDBs through the fused kernel: the cond channels must survive
     the block-to-block handoff (they ride lanes 64:96 of the body tensor

@@ -8,6 +8,7 @@ import os
 import types
 
 import numpy as np
+import pytest
 import jax
 
 from fourk_nerf_tpu.config import load_config
@@ -69,6 +70,7 @@ def test_encoder_resume_bit_exact(tmp_path):
     _assert_trees_equal(p_full, p_resumed)
 
 
+@pytest.mark.slow
 def test_encoder_no_reload_optimizer_flag(tmp_path):
     data_dict = _make_synthetic_scene()
     _run_encoder(str(tmp_path / "C"), 10, data_dict)
@@ -117,6 +119,7 @@ def _run_joint(basedir, n_iters, dd):
     )
 
 
+@pytest.mark.slow
 def test_joint_resume_restores_sr_disc_and_optimizers(tmp_path):
     dd = _data_with_srgt()
     _, _, p_full, _, _, sr_full = _run_joint(str(tmp_path / "A"), 8, dd)
@@ -126,6 +129,7 @@ def test_joint_resume_restores_sr_disc_and_optimizers(tmp_path):
     _assert_trees_equal(sr_full, sr_res)
 
 
+@pytest.mark.slow
 def test_encoder_resume_bit_exact_patch_box(tmp_path):
     """Resume stability holds for the patch_box slab-sweep train path too
     (step-indexed patch sampler + per-view static plans)."""

@@ -45,6 +45,7 @@ def _data_with_srgt():
     return dd
 
 
+@pytest.mark.slow
 def test_joint_step_published_objective(joint_cfg, tmp_path):
     """The FULL published objective (l1 + perceptual 0.5 + style 0.2 +
     gan 0.05, reference configs/llff/fern_lg_joint_l1+gan.py:17-19) trains

@@ -112,6 +112,7 @@ def _run(train_step, state, batch, lrs, n=2):
     return params, enc_opt, sr_params, d_params, loss, psnr
 
 
+@pytest.mark.slow
 def test_windowed_step_equals_full_step():
     full = _run(*_setup(grid_window=None))
     win = _run(*_setup(grid_window=32))

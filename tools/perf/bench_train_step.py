@@ -132,7 +132,7 @@ def main():
               f"{step_ms * 300e3 / 3.6e6:.1f} h", flush=True)
 
         import pathlib
-        tdir = pathlib.Path(f"/root/repo/profile_r3/train_step_{label}")
+        tdir = pathlib.Path(f"/root/repo/profile_r4/train_step_{label}")
         tdir.mkdir(parents=True, exist_ok=True)
         try:
             with jax.profiler.trace(str(tdir)):
