@@ -181,6 +181,9 @@ def main():
         # lhs-dilated upsample convs
         _fuse = os.environ.get("FOURK_SR_FUSE_RRDB") == "1"
         _upchain = os.environ.get("FOURK_SR_UPCHAIN", "materialized")
+        if _upchain not in ("materialized", "dilated"):
+            raise SystemExit(f"FOURK_SR_UPCHAIN must be 'materialized' or "
+                             f"'dilated', got {_upchain!r}")
 
         def fast_fn(p, x, c):
             if use_fast[0]:

@@ -54,10 +54,10 @@ def main():
                 ts.append(time.perf_counter() - t0)
             err = ""
             if ref is None:
-                ref = np.asarray(out)
+                ref = out  # keep on device; the tunnel is ~2 MB/s
             else:
-                d = np.abs(np.asarray(out) - ref)
-                err = f"  p99.9 vs base: {np.percentile(d, 99.9):.3g}"
+                d = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(out, ref)
+                err = f"  max vs base: {float(np.asarray(d)):.3g}"
             print(f"{name:22s}: {np.min(ts)*1e3:7.1f} ms{err}", flush=True)
         except Exception as e:
             print(f"{name:22s}: FAILED {repr(e)[:160]}", flush=True)
