@@ -207,12 +207,13 @@ def main():
     # Decode variant knobs.  FOURK_SR_FUSE_RRDB / FOURK_SR_UPCHAIN are the
     # same surface run_sr.py's video path reads; FOURK_SR_TILE is bench-only
     # (run_sr.py uses the production default tile).  Defaults are the measured
-    # winners from tools/perf/sweep_sr_tiles.py on TPU v5 lite — override to
-    # re-measure alternatives.  All three validate eagerly so a typo'd sweep
-    # setting fails fast instead of silently re-measuring the default
-    # (ADVICE r3).
+    # winners from tools/perf/sweep_sr_{tiles,one}.py on TPU v5 lite
+    # (profile_r4/sr_decode_variants.md: dilated upchain -9.9% vs
+    # materialized) — override to re-measure alternatives.  All three
+    # validate eagerly so a typo'd sweep setting fails fast instead of
+    # silently re-measuring the default (ADVICE r3).
     _fuse = os.environ.get("FOURK_SR_FUSE_RRDB", "0") == "1"
-    _upchain = os.environ.get("FOURK_SR_UPCHAIN", "materialized")
+    _upchain = os.environ.get("FOURK_SR_UPCHAIN", "dilated")
     if _upchain not in ("materialized", "dilated"):
         raise SystemExit(f"FOURK_SR_UPCHAIN must be 'materialized' or "
                          f"'dilated', got {_upchain!r}")

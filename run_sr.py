@@ -176,11 +176,14 @@ def main():
                     and int(sr_model.scale) in (1, 2, 4)]
 
         # decode-variant knobs (measured per-chip via
-        # tools/perf/sweep_sr_tiles.py): FOURK_SR_FUSE_RRDB=1 runs whole
-        # RRDBs per kernel launch; FOURK_SR_UPCHAIN=dilated uses the exact
-        # lhs-dilated upsample convs
+        # tools/perf/sweep_sr_{tiles,one}.py): FOURK_SR_FUSE_RRDB=1 runs
+        # whole RRDBs per kernel launch; FOURK_SR_UPCHAIN selects the
+        # upsample-conv form — "dilated" (exact lhs-dilated rewrite,
+        # tests/test_s2d.py) measured -9.9% vs "materialized" at fern
+        # scale on TPU v5 lite (profile_r4/sr_decode_variants.md) and is
+        # the default
         _fuse = os.environ.get("FOURK_SR_FUSE_RRDB") == "1"
-        _upchain = os.environ.get("FOURK_SR_UPCHAIN", "materialized")
+        _upchain = os.environ.get("FOURK_SR_UPCHAIN", "dilated")
         if _upchain not in ("materialized", "dilated"):
             raise SystemExit(f"FOURK_SR_UPCHAIN must be 'materialized' or "
                              f"'dilated', got {_upchain!r}")

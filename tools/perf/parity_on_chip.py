@@ -142,7 +142,15 @@ def check_sr_body():
     d_f = np.abs(np.asarray(got_f) - np.asarray(ref))
     err_f = float(np.percentile(d_f, 99.9))
     assert err_f < 0.08, f"fused-RRDB kernel parity (p99.9): {err_f}"
-    return max(err, err_f)
+    # dilated upchain (round 4, the adopted production default): exact
+    # weight-space rewrite of nearest-up+conv (ops/s2d.py), so same bound
+    got_d = jax.jit(lambda p, x_, c_: pallas_sr.sftnet_apply_pallas(
+        p, x_, c_, scale=4, num_block=5, th=48, tw=128,
+        upchain="dilated"))(sr_params, x, c)
+    d_d = np.abs(np.asarray(got_d) - np.asarray(ref))
+    err_d = float(np.percentile(d_d, 99.9))
+    assert err_d < 0.08, f"dilated-upchain decode parity (p99.9): {err_d}"
+    return max(err, err_f, err_d)
 
 
 def main():
