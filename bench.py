@@ -165,7 +165,7 @@ def main():
             try:
                 out = pallas_sweep.render_frame_pallas(
                     cfg, params, buffers, H, W, K, c2w[:3, :4], stepsize=1.0,
-                    bg=1.0, tile=(32, 128), patch=None, use_bf16=True,
+                    bg=1.0, tile=None, patch=None, use_bf16=True,
                     early_exit=True,
                 )
                 return (out["rgb_feature"][None], out["depth"][None, ..., None])
@@ -287,7 +287,7 @@ def main():
                     try:
                         out = pallas_sweep.render_frame_pallas(
                             tcfg, tparams, tbuffers, H, W, K, c2w[:3, :4],
-                            stepsize=1.0, bg=1.0, tile=(32, 128), patch=None,
+                            stepsize=1.0, bg=1.0, tile=None, patch=None,
                             use_bf16=True, early_exit=True)
                         return out["rgb_feature"][None], out["depth"][None, ..., None]
                     except Exception as e:

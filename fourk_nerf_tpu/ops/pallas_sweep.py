@@ -626,19 +626,27 @@ def sweep_tiles_pallas(packed_flat, act_shift, a_tiles, b_tiles,
 
 
 def render_frame_pallas(cfg, params, buffers, H: int, W: int, K, c2w, *,
-                        stepsize: float, bg: float, tile=(32, 128),
+                        stepsize: float, bg: float, tile=None,
                         patch: int | None = None, inverse_y=False,
                         flip_x=False, flip_y=False, use_bf16: bool = True,
                         early_exit: bool = True, interpret: bool = False,
                         ablate: str = ""):
     """Full-frame render through the fused Pallas kernel. Same contract as
     :func:`fourk_nerf_tpu.ops.plane_sweep.render_frame` (plane-aligned NDC
-    conditions required; ValueError when the footprint exceeds the patch)."""
+    conditions required; ValueError when the footprint exceeds the patch).
+
+    tile=None auto-selects the measured production tiling
+    (profile_r4/encoder_ablation.md): short-and-wide (8, 512) on frames
+    wide enough to fill it — th=8 minimizes the VPU-bound per-plane y
+    window, tw=512 keeps the x-interp matmul's M dim on the MXU — and
+    (32, 128) otherwise."""
     from fourk_nerf_tpu.models import common, dmpigo
     from fourk_nerf_tpu.ops import plane_sweep, rays as ray_ops
 
     assert dmpigo.plane_aligned_ok(cfg, stepsize, ndc=True)
     X, Y, Z = cfg.world_size
+    if tile is None:
+        tile = (8, 512) if W >= 512 else (32, 128)
     th, tw = (tile, tile) if isinstance(tile, int) else tuple(tile)
 
     # ALL frame prep runs on device in one dispatch; the host pulls exactly

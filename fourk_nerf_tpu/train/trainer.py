@@ -509,7 +509,7 @@ def render_viewpoints(model_mod, model_cfg, params, buffers, render_poses, HW, K
             try:
                 return pallas_sweep.render_frame_pallas(
                     model_cfg, params, buffers, H, W, K_i, c2w,
-                    stepsize=rk["stepsize"], bg=rk["bg"], tile=(32, 128),
+                    stepsize=rk["stepsize"], bg=rk["bg"], tile=None,
                     patch=None,
                     inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
                     flip_y=cfg.data.flip_y, use_bf16=True,

@@ -59,7 +59,19 @@ def check_plane_sweep():
     err = float(np.abs(np.asarray(got["rgb_marched"])
                        - np.asarray(ref["rgb_marched"])).max())
     assert err < 5e-4, f"plane-sweep kernel parity: {err}"
-    return err
+    # the adopted production tiling (8, 512) on a frame wide enough to use
+    # it (encoder_ablation.md): same oracle at 64x640
+    H2, W2 = 64, 640
+    ref2 = plane_sweep.render_frame(
+        cfg, params, buffers, H2, W2, K, c2w[:3, :4], stepsize=1.0, bg=0.5,
+        tile=16, patch=48, use_bf16=False)
+    got2 = pallas_sweep.render_frame_pallas(
+        cfg, params, buffers, H2, W2, K, c2w[:3, :4], stepsize=1.0, bg=0.5,
+        tile=None, patch=None, use_bf16=False, early_exit=True)
+    err2 = float(np.abs(np.asarray(got2["rgb_marched"])
+                        - np.asarray(ref2["rgb_marched"])).max())
+    assert err2 < 5e-4, f"plane-sweep (8,512) tile parity: {err2}"
+    return max(err, err2)
 
 
 def check_box_sweep():
