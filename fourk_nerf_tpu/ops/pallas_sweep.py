@@ -635,18 +635,21 @@ def render_frame_pallas(cfg, params, buffers, H: int, W: int, K, c2w, *,
     :func:`fourk_nerf_tpu.ops.plane_sweep.render_frame` (plane-aligned NDC
     conditions required; ValueError when the footprint exceeds the patch).
 
-    tile=None auto-selects the measured production tiling
-    (profile_r4/encoder_ablation.md): short-and-wide (8, 512) on frames
-    wide enough to fill it — th=8 minimizes the VPU-bound per-plane y
-    window, tw=512 keeps the x-interp matmul's M dim on the MXU — and
-    (32, 128) otherwise."""
+    tile=None selects (32, 128), the production tiling. Round 5 demoted
+    the short-lived (8, 512) auto-default (profile_r4/encoder_ablation.md
+    measured it -3.2% once): re-measured in one process it is a wash
+    (284.9 vs 279.6 ms median at fern scale, tools/perf/diag_r5.py), its
+    Mosaic compile takes 171 s vs 6.5 s, and it overflows the 100 MB
+    scoped-VMEM budget whenever viewbase_pe > 0 widens the viewdir
+    embedding (the round-4 trained-anchor JaxRuntimeError: scoped
+    allocation 116.2 MB). Callers can still pass (8, 512) explicitly."""
     from fourk_nerf_tpu.models import common, dmpigo
     from fourk_nerf_tpu.ops import plane_sweep, rays as ray_ops
 
     assert dmpigo.plane_aligned_ok(cfg, stepsize, ndc=True)
     X, Y, Z = cfg.world_size
     if tile is None:
-        tile = (8, 512) if W >= 512 else (32, 128)
+        tile = (32, 128)
     th, tw = (tile, tile) if isinstance(tile, int) else tuple(tile)
 
     # ALL frame prep runs on device in one dispatch; the host pulls exactly

@@ -719,9 +719,15 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                 sr_model, sr_params, data_dict, render_kwargs, sr_ratio,
             )
             if writer is not None:
+                # proxy LPIPS values are NOT comparable to published LPIPS:
+                # log them under their own scalar so recorded curves are
+                # self-describing (ADVICE r4)
+                is_proxy = bool(val.get("lpips_sr_is_proxy"))
                 for k, vv in val.items():
                     if isinstance(vv, float):
-                        writer.scalar(f"val/{k}", vv, global_step)
+                        name = ("lpips_sr_proxy"
+                                if k == "lpips_sr" and is_proxy else k)
+                        writer.scalar(f"val/{name}", vv, global_step)
             gate = val.get("lpips_sr")
             if best_psnr == -np.inf:  # first val: announce the gating mode once
                 if gate is None:

@@ -183,6 +183,19 @@ def main():
         # scale on TPU v5 lite (profile_r4/sr_decode_variants.md) and is
         # the default
         _fuse = os.environ.get("FOURK_SR_FUSE_RRDB") == "1"
+        if _fuse:
+            # measured dead end: the whole-RRDB fused kernel never returned
+            # from its fern-scale Mosaic compile in a 38-min bound, 3/3
+            # attempts (profile_r4/sr_decode_variants.md) — a production
+            # render would silently hang in the remote compiler
+            print("WARNING: FOURK_SR_FUSE_RRDB=1 is a recorded compile-bound "
+                  "dead end at production scale (>38 min Mosaic compile, "
+                  "profile_r4/sr_decode_variants.md); expect a very long or "
+                  "never-finishing first-frame compile. Set "
+                  "FOURK_SR_FUSE_RRDB_ACK=1 to proceed anyway.")
+            if os.environ.get("FOURK_SR_FUSE_RRDB_ACK") != "1":
+                raise SystemExit("refusing FOURK_SR_FUSE_RRDB=1 without "
+                                 "FOURK_SR_FUSE_RRDB_ACK=1")
         _upchain = os.environ.get("FOURK_SR_UPCHAIN", "dilated")
         if _upchain not in ("materialized", "dilated"):
             raise SystemExit(f"FOURK_SR_UPCHAIN must be 'materialized' or "

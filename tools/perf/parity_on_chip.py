@@ -59,8 +59,9 @@ def check_plane_sweep():
     err = float(np.abs(np.asarray(got["rgb_marched"])
                        - np.asarray(ref["rgb_marched"])).max())
     assert err < 5e-4, f"plane-sweep kernel parity: {err}"
-    # the adopted production tiling (8, 512) on a frame wide enough to use
-    # it (encoder_ablation.md): same oracle at 64x640
+    # the tile=None production default on a wide frame: same oracle at
+    # 64x640 (round 5 reverted tile=None to (32,128); see
+    # render_frame_pallas docstring)
     H2, W2 = 64, 640
     ref2 = plane_sweep.render_frame(
         cfg, params, buffers, H2, W2, K, c2w[:3, :4], stepsize=1.0, bg=0.5,
@@ -71,6 +72,35 @@ def check_plane_sweep():
     err2 = float(np.abs(np.asarray(got2["rgb_marched"])
                         - np.asarray(ref2["rgb_marched"])).max())
     assert err2 < 5e-4, f"plane-sweep (8,512) tile parity: {err2}"
+
+    # production-scale smoke (ADVICE r4): the round-4 tile=None default
+    # compiled fine at 64x640 but VMEM-OOM'd at the 756x1008/384x384x256
+    # scale bench.py actually runs -- so the adopted default must
+    # compile+run at THAT scale here, or the gate is not guarding the
+    # shipped path.  One frame, no oracle (the 64x640 checks above own
+    # numerics); bf16 + early_exit exactly as bench.py dispatches it.
+    # viewbase_pe=4/spatial_pe=2 deliberately matches the trained-anchor
+    # cfg: the wider viewdir embedding is what pushed the (8,512) scratch
+    # over the 100 MB scoped-VMEM budget in round 4 (diag_r5.py), so the
+    # smoke covers the HEAVIER of the two cfg classes bench.py renders.
+    pcfg = dmpigo.make_config(
+        xyz_min=[-1.5, -1.67, -1.0], xyz_max=[1.5, 1.67, 1.0],
+        num_voxels=384 * 384 * 256, mpi_depth=256,
+        fast_color_thres=1.0 / 256 / 5, rgbnet_dim=9, rgbnet_depth=3,
+        rgbnet_width=64, viewbase_pe=4, spatial_pe=2)
+    pparams, pbuffers = dmpigo.init(pcfg, jax.random.PRNGKey(0))
+    pparams["density"] = jnp.asarray(
+        rng.normal(-2.0, 2.0, pparams["density"].shape).astype(np.float32))
+    pbuffers["mask_cache"] = jnp.asarray(
+        rng.uniform(size=pcfg.mask_cache_world_size) < 0.5)
+    Hp, Wp = 756, 1008
+    fp = 815.0
+    Kp = np.array([[fp, 0, Wp / 2], [0, fp, Hp / 2], [0, 0, 1]], np.float32)
+    got3 = pallas_sweep.render_frame_pallas(
+        pcfg, pparams, pbuffers, Hp, Wp, Kp, c2w[:3, :4], stepsize=1.0,
+        bg=1.0, tile=None, patch=None, use_bf16=True, early_exit=True)
+    assert np.isfinite(float(np.asarray(got3["rgb_marched"]).sum())), \
+        "production-scale tile=None smoke: non-finite output"
     return max(err, err2)
 
 
