@@ -15,15 +15,62 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import numpy as np
 
 from fourk_nerf_tpu.models import common
 
+# -- async checkpointing ----------------------------------------------------
+# A fern-scale joint checkpoint (grids + MaskedAdam moments) is ~4.5 GB; a
+# synchronous save stalls training for the whole device->host transfer (>30
+# min through the tunneled single-chip link in this image; seconds over PCIe
+# on a real pod, but still a stall the reference pays too at
+# /root/reference/run_sr.py:1022-1035). The TPU-native answer is the standard
+# async-checkpoint pattern (orbax AsyncCheckpointer): snapshot the tree
+# ON-DEVICE (an HBM->HBM copy, milliseconds -- REQUIRED anyway because the
+# train steps donate their state buffers), then pull + write in a background
+# thread while training continues. One worker with backpressure: a second
+# save while one is in flight blocks until the first finishes, bounding the
+# extra HBM footprint to one snapshot.
+_SAVE_LOCK = threading.Lock()
+_PENDING: list = []  # [(path, concurrent.futures.Future)]
+_POOL = None
+
+
+def _snapshot(x):
+    """Device-side copy of a jax.Array (safe against later donation);
+    host arrays pass through as-is (np.savez will read them unchanged)."""
+    import jax
+
+    if isinstance(x, jax.Array):
+        return x.copy()
+    return x
+
+
+def _write_npz(path: str, flat: dict) -> None:
+    # np.asarray here is the device->host pull: it runs on the worker thread
+    flat = {k: np.asarray(v) for k, v in flat.items()}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)  # atomic: a kill mid-save leaves the old ckpt
+
+
+def wait_for_pending_saves() -> None:
+    """Block until every async save has landed on disk; re-raise the first
+    worker failure. Call before process exit and before trusting a
+    just-written checkpoint path."""
+    with _SAVE_LOCK:
+        pending, _PENDING[:] = _PENDING[:], []
+    for path, fut in pending:
+        fut.result()
+
 
 def save_checkpoint(path: str, model_kwargs: dict, params: dict, buffers: dict,
                     opt_state: dict | None = None, global_step: int = 0,
-                    extra_meta: dict | None = None) -> None:
+                    extra_meta: dict | None = None,
+                    async_save: bool = False) -> None:
     flat = {}
     flat.update({f"params/{k}": v for k, v in common.tree_to_flat_dict(params).items()})
     flat.update({f"buffers/{k}": v for k, v in common.tree_to_flat_dict(buffers).items()})
@@ -33,10 +80,28 @@ def save_checkpoint(path: str, model_kwargs: dict, params: dict, buffers: dict,
     if extra_meta:
         meta.update(extra_meta)
     flat["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, **flat)
-    os.replace(tmp, path)
+    if not async_save:
+        _write_npz(path, flat)
+        return
+
+    import concurrent.futures
+
+    import jax
+
+    # backpressure BEFORE snapshotting: at most one in-flight save's HBM copy
+    wait_for_pending_saves()
+    snap = {k: _snapshot(v) for k, v in flat.items()}
+    # the copies must be materialized before the caller's next (donating)
+    # train step invalidates the source buffers
+    for v in snap.values():
+        if isinstance(v, jax.Array):
+            v.block_until_ready()
+    global _POOL
+    with _SAVE_LOCK:
+        if _POOL is None:
+            _POOL = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-save")
+        _PENDING.append((path, _POOL.submit(_write_npz, path, snap)))
 
 
 def load_checkpoint(path: str):

@@ -371,6 +371,16 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
             reload_path = args.ftdv_path
         elif os.path.isfile(last_ckpt_path):
             reload_path = last_ckpt_path
+        else:
+            # a killed run leaves only periodic ckpt_saved/ files (the
+            # {stage}_last ckpt is written at N_iters): auto-resume from the
+            # newest one so kill+resume needs no manual --ftdv_path
+            import glob
+            cands = [p for p in glob.glob(os.path.join(
+                cfg.basedir, cfg.expname, "ckpt_saved", f"{stage}_*.npz"))
+                if not p.endswith(".tmp.npz")]  # a kill mid-write leaves tmps
+            if cands:
+                reload_path = max(cands)
 
     # stashed pieces from a joint checkpoint (auto-resume): SR/D params and
     # optimizer states are applied after their respective inits below
@@ -751,23 +761,31 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                 _save_joint(
                     os.path.join(cfg.basedir, cfg.expname, "render_val", "best_joint.npz"),
                     model_mod, model_cfg, params, buffers, sr_params,
-                    d_params, d_state, global_step,
+                    d_params, d_state, global_step, async_save=True,
                 )
 
         if args.i_weights and global_step % args.i_weights == 0:
+            # async: the fern-scale tree is GBs -- snapshot on device and let
+            # the worker thread pull+write while training continues (a kill
+            # mid-save atomically keeps the previous ckpt)
             _save_joint(
                 os.path.join(cfg.basedir, cfg.expname, "ckpt_saved", f"{stage}_{global_step:06d}.npz"),
                 model_mod, model_cfg, params, buffers, sr_params, d_params, d_state, global_step,
                 opt_states={"enc": enc_opt, "sr": sr_opt, "d": d_opt},
-                steps_since_reset=steps_since_reset,
+                steps_since_reset=steps_since_reset, async_save=True,
             )
+            print(f"sr ({stage}): async checkpoint dispatched at iter "
+                  f"{global_step}", flush=True)
 
     if cfg_train.N_iters > start:
+        checkpoints.wait_for_pending_saves()
         _save_joint(last_ckpt_path, model_mod, model_cfg, params, buffers, sr_params,
                     d_params, d_state, cfg_train.N_iters,
                     opt_states={"enc": enc_opt, "sr": sr_opt, "d": d_opt},
                     steps_since_reset=steps_since_reset)
         print(f"sr ({stage}): saved checkpoint at {last_ckpt_path}")
+    else:
+        checkpoints.wait_for_pending_saves()
 
     return model_mod, model_cfg, params, buffers, sr_model, sr_params
 
@@ -783,7 +801,8 @@ def _force_image_sampler(cfg_train):
 
 def _save_joint(path, model_mod, model_cfg, params, buffers, sr_params, d_params,
                 d_state, global_step, opt_states: dict | None = None,
-                steps_since_reset: int | None = None):
+                steps_since_reset: int | None = None,
+                async_save: bool = False):
     extra = {"pipeline": "joint_sr"}
     if steps_since_reset is not None:
         extra["steps_since_reset"] = int(steps_since_reset)
@@ -795,7 +814,7 @@ def _save_joint(path, model_mod, model_cfg, params, buffers, sr_params, d_params
     opt = {k: v for k, v in (opt_states or {}).items() if v is not None} or None
     checkpoints.save_checkpoint(
         path, model_mod.get_kwargs(model_cfg), tree, buffers, opt_state=opt,
-        global_step=global_step, extra_meta=extra,
+        global_step=global_step, extra_meta=extra, async_save=async_save,
     )
 
 

@@ -700,6 +700,15 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
             reload_path = args.ft_path
         elif os.path.isfile(last_ckpt_path):
             reload_path = last_ckpt_path
+        else:
+            # killed run: resume from the newest periodic i_weights ckpt
+            import glob
+            cands = [p for p in glob.glob(os.path.join(
+                cfg.basedir, cfg.expname, f"{stage}_*.npz"))
+                if p != last_ckpt_path and "_last" not in os.path.basename(p)
+                and not p.endswith(".tmp.npz")]  # kill mid-write leaves tmps
+            if cands:
+                reload_path = max(cands)
 
     start = 0
     opt_state_l = None
@@ -954,17 +963,22 @@ def scene_rep_reconstruction(args, cfg, cfg_model, cfg_train, xyz_min, xyz_max,
                 checkpoints.save_checkpoint(
                     os.path.join(cfg.basedir, cfg.expname, "best_psnr.npz"),
                     model_mod.get_kwargs(model_cfg), params, buffers,
-                    global_step=global_step,
+                    global_step=global_step, async_save=True,
                 )
 
         if args.i_weights and global_step % args.i_weights == 0:
+            # async: device-side snapshot, pull+write on a worker thread
+            # (see checkpoints.save_checkpoint) -- a fern-scale grid tree is
+            # GBs and a synchronous pull would stall training
             checkpoints.save_checkpoint(
                 os.path.join(cfg.basedir, cfg.expname, f"{stage}_{global_step:06d}.npz"),
                 model_mod.get_kwargs(model_cfg), params, buffers, opt_state, global_step,
                 extra_meta={"steps_since_reset": steps_since_reset},
+                async_save=True,
             )
 
     if cfg_train.N_iters > 0:
+        checkpoints.wait_for_pending_saves()
         checkpoints.save_checkpoint(
             last_ckpt_path, model_mod.get_kwargs(model_cfg), params, buffers,
             opt_state, cfg_train.N_iters,

@@ -108,3 +108,59 @@ def test_nnfm_loss_runs_with_random_vgg():
         assert np.isfinite(float(v))
     same = loss(x, x, loss_names=("nnfm_loss",))
     assert float(same["nnfm_loss"]) < 1e-5
+
+
+def test_async_save_bitexact_and_donation_safe(tmp_path):
+    """Async saves must (a) land bit-identical to sync saves, (b) snapshot
+    the values at call time even when the caller's buffers are donated to a
+    later computation, (c) be waitable before load."""
+    cfg = dmpigo.make_config(
+        xyz_min=[-1, -1, 0], xyz_max=[1, 1, 1], num_voxels=8 * 8 * 4,
+        mpi_depth=4, rgbnet_dim=4, rgbnet_width=8,
+    )
+    params, buffers = dmpigo.init(cfg, jax.random.PRNGKey(0))
+    params = jax.device_put(params)
+    expect = {k: np.asarray(v) for k, v in params.items()
+              if not isinstance(v, dict)}
+
+    p_sync = str(tmp_path / "sync.npz")
+    p_async = str(tmp_path / "async.npz")
+    checkpoints.save_checkpoint(p_sync, dmpigo.get_kwargs(cfg), params,
+                                buffers, global_step=7)
+    checkpoints.save_checkpoint(p_async, dmpigo.get_kwargs(cfg), params,
+                                buffers, global_step=7, async_save=True)
+
+    # donate + overwrite the live buffers BEFORE the async write finishes:
+    # the snapshot must hold the pre-donation values
+    bump = jax.jit(lambda t: jax.tree.map(lambda x: x + 1.0, t),
+                   donate_argnums=(0,))
+    params = bump(params)
+    jax.block_until_ready(params)
+
+    checkpoints.wait_for_pending_saves()
+    _, pa, _, _, step_a, _ = checkpoints.load_checkpoint(p_async)
+    _, ps, _, _, _, _ = checkpoints.load_checkpoint(p_sync)
+    assert step_a == 7
+    for k in ("density", "k0"):
+        np.testing.assert_array_equal(np.asarray(pa[k]), expect[k])
+        np.testing.assert_array_equal(np.asarray(pa[k]), np.asarray(ps[k]))
+
+
+def test_async_save_error_surfaces(tmp_path, monkeypatch):
+    """A failing background write must raise from wait_for_pending_saves,
+    not vanish."""
+    cfg = dmpigo.make_config(
+        xyz_min=[-1, -1, 0], xyz_max=[1, 1, 1], num_voxels=4 * 4 * 4,
+        mpi_depth=4, rgbnet_dim=0,
+    )
+    params, buffers = dmpigo.init(cfg, jax.random.PRNGKey(0))
+
+    def boom(path, flat):
+        raise OSError("disk full (simulated)")
+
+    monkeypatch.setattr(checkpoints, "_write_npz", boom)
+    checkpoints.save_checkpoint(str(tmp_path / "x.npz"),
+                                dmpigo.get_kwargs(cfg), params,
+                                buffers, async_save=True)
+    with pytest.raises(OSError, match="disk full"):
+        checkpoints.wait_for_pending_saves()
