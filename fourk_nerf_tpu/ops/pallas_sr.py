@@ -512,7 +512,7 @@ def _conv(p, a, bf16=jnp.bfloat16):
 def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
                         num_block: int = 5, th: int = 48, tw: int = 128,
                         interpret: bool = False, upchain: str = "materialized",
-                        fuse_rrdb: bool = False):
+                        fuse_rrdb: bool = False, ablate: str = ""):
     """Full SFTNet eval forward with the fused Pallas body.
 
     Mirrors ``SFTNet.__call__`` (models/sr_esrnet.py) / the reference graph
@@ -552,10 +552,11 @@ def sftnet_apply_pallas(params, x, cond, *, scale: int = 4,
             cur = rdb_apply_pallas(cur,
                                    pack_rdb_weights(bp[f"rdb{j}"]),
                                    H=H, W=W, th=th, tw=tw,
-                                   interpret=interpret)
+                                   interpret=interpret, ablate=ablate)
         body = rdb_apply_pallas(
             cur, pack_rdb_weights(bp["rdb3"], rrdb_sft=bp["sft0"]),
-            H=H, W=W, th=th, tw=tw, xin=xin, interpret=interpret)
+            H=H, W=W, th=th, tw=tw, xin=xin, interpret=interpret,
+            ablate=ablate)
 
     cond_core = body[:H, :W, _F:_F + _G]
     body = body[:H, :W, :_F]

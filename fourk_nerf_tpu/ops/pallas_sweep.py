@@ -454,37 +454,57 @@ def _sweep_kernel(a_ref, b_ref, vde_ref, act_ref, *rest,
         alive = t_cum >= render.EARLY_TERM_THRES
         alpha = jnp.where(alive, alpha, 0.0)
 
-        # rgbnet MLP on the MXU, rays staying on the lanes
-        if "nomlp" in ablate:
-            rgb_raw = jnp.concatenate([samp[1:2, :]] * 3, axis=0)
-        else:
-            pe_spa = jnp.concatenate([
-                jnp.full((1, R), 2.0 * kf / max(Z - 1, 1) - 1.0, dtype=f32),
-                pos_y / (Yl - 1) * 2.0 - 1.0,
-                pos_x / (Xl - 1) * 2.0 - 1.0,
-            ], axis=0)
-            pe_emb = _pe_inline_rows(pe_spa, spatial_pe)
-            h = jnp.concatenate(
-                [samp[1:1 + k0_dim, :], pe_emb, vde_ref[0, g]],
-                axis=0).astype(compute_dtype)
-            for li in range(n_layers):
-                w = mlp_refs[2 * li][...]       # [Cin, width]
-                bb = mlp_refs[2 * li + 1][...]  # [width, 1]
-                h = jax.lax.dot_general(
-                    w.astype(compute_dtype), h,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=precision,
-                ) + bb.astype(jnp.float32)
-                if li < n_layers - 1:
-                    h = act(h).astype(compute_dtype)
-            rgb_raw = jax.nn.sigmoid(h)  # [3,R]
+        def mlp_and_composite():
+            # rgbnet MLP on the MXU, rays staying on the lanes
+            if "nomlp" in ablate:
+                rgb_raw = jnp.concatenate([samp[1:2, :]] * 3, axis=0)
+            else:
+                pe_spa = jnp.concatenate([
+                    jnp.full((1, R), 2.0 * kf / max(Z - 1, 1) - 1.0,
+                             dtype=f32),
+                    pos_y / (Yl - 1) * 2.0 - 1.0,
+                    pos_x / (Xl - 1) * 2.0 - 1.0,
+                ], axis=0)
+                pe_emb = _pe_inline_rows(pe_spa, spatial_pe)
+                h = jnp.concatenate(
+                    [samp[1:1 + k0_dim, :], pe_emb, vde_ref[0, g]],
+                    axis=0).astype(compute_dtype)
+                for li in range(n_layers):
+                    w = mlp_refs[2 * li][...]       # [Cin, width]
+                    bb = mlp_refs[2 * li + 1][...]  # [width, 1]
+                    h = jax.lax.dot_general(
+                        w.astype(compute_dtype), h,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    ) + bb.astype(jnp.float32)
+                    if li < n_layers - 1:
+                        h = act(h).astype(compute_dtype)
+                rgb_raw = jax.nn.sigmoid(h)  # [3,R]
 
-        w_comp = t_cum * alpha
-        if fast_thres > 0:
-            w_comp = jnp.where(w_comp > fast_thres, w_comp, 0.0)
-        rgb_ref[0, g] = rgb_ref[0, g] + w_comp * rgb_raw
-        depth_ref[0, g] = depth_ref[0, g] + w_comp * ((kf + 0.5) / Z)
-        ail_ref[0, g] = t_cum * (1.0 - alpha)
+            w_comp = t_cum * alpha
+            if fast_thres > 0:
+                w_comp = jnp.where(w_comp > fast_thres, w_comp, 0.0)
+            rgb_ref[0, g] = rgb_ref[0, g] + w_comp * rgb_raw
+            depth_ref[0, g] = depth_ref[0, g] + w_comp * ((kf + 0.5) / Z)
+            ail_ref[0, g] = t_cum * (1.0 - alpha)
+
+        # plane-granular sample compaction (VERDICT r4 item 6, the
+        # survivor-compaction the reference CUDA path does dynamically,
+        # /root/reference/lib/dmpigo.py:309-333, lifted to (tile, plane)
+        # granularity): when EVERY ray's thresholded alpha is zero -- empty
+        # space, masked voxels, or out-of-frustum -- the MLP, the composite,
+        # and the transmittance update are all exact no-ops
+        # (ail = t_cum * (1 - 0) = t_cum), so skip them wholesale. On
+        # trained grids most (tile, plane) pairs are empty; random
+        # synthetic grids skip little. "noskip" ablates back to
+        # unconditional execution for measurement.
+        if "noskip" in ablate:
+            mlp_and_composite()
+        else:
+            @pl.when(jnp.max(alpha) > 0.0)
+            def _():
+                mlp_and_composite()
 
     def plane_step(k):
         slot = k % _NBUF

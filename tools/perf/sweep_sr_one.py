@@ -22,6 +22,16 @@ VARIANTS = {
     "fused": dict(th=48, tw=128, fuse_rrdb=True),
     "dilated": dict(th=48, tw=128, upchain="dilated"),
     "fused_dilated": dict(th=48, tw=128, fuse_rrdb=True, upchain="dilated"),
+    # in-kernel cost localization on top of the adopted dilated upchain
+    # (round-5, VERDICT item 5): bf16 partial-sum accumulation, SFT layers
+    # disabled, frame-edge masking disabled. bf16acc is a candidate
+    # adoption (numerics quantified before flipping); nosft/nomask are
+    # measurement-only.
+    "dilated_bf16acc": dict(th=48, tw=128, upchain="dilated",
+                            ablate="bf16acc"),
+    "dilated_nosft": dict(th=48, tw=128, upchain="dilated", ablate="nosft"),
+    "dilated_nomask": dict(th=48, tw=128, upchain="dilated",
+                           ablate="nomask"),
 }
 
 
