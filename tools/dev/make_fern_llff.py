@@ -49,7 +49,11 @@ c2ws = np.stack(c2ws)
 # reconstructible from LR alone)
 cfg_t = dmpigo.make_config(
     xyz_min=[-2.0, -2.0, -1.0], xyz_max=[2.0, 2.0, 1.0],
-    num_voxels=192 * 192 * 32, mpi_depth=32, rgbnet_dim=0)
+    num_voxels=192 * 192 * 32, mpi_depth=32,
+    # plane_sweep.render_frame requires an rgbnet (no rgbnet_dim=0 fast
+    # path there); a SCALED random MLP over smoothed features gives
+    # structured, view/PE-dependent color with real contrast
+    rgbnet_dim=9, rgbnet_depth=3, rgbnet_width=64)
 params_t, buffers_t = dmpigo.init(cfg_t, jax.random.PRNGKey(0))
 rng = np.random.default_rng(0)
 dens = rng.normal(0, 2, params_t["density"].shape).astype(np.float32)
@@ -59,18 +63,31 @@ params_t["density"] = jnp.asarray(dens)
 k0 = rng.normal(0, 1, params_t["k0"].shape).astype(np.float32)
 k0 = gaussian_filter(k0, sigma=(1.5, 1.5, 0.5, 0)) * 3.0
 params_t["k0"] = jnp.asarray(k0)
+params_t["rgbnet"] = jax.tree.map(lambda w: w * 3.0, params_t["rgbnet"])
 
 assert dmpigo.plane_aligned_ok(cfg_t, 1.0, ndc=True)
 
 to_u8 = jax.jit(lambda x: jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8))
 
 import imageio.v2 as imageio
+# the full 3024x4032 frame through the sweep path would materialize
+# ~11.9k per-tile patch buffers (~37 GB > 16 GB HBM); render in 8
+# horizontal bands instead (a band is production-frame-sized, ~4.7 GB)
+# by shifting the principal point -- rays depend on pixels only via K
+BANDS = 8
+bh = HS // BANDS
+assert bh * BANDS == HS
 for i, c2w in enumerate(c2ws):
     t0 = time.time()
-    out = plane_sweep.render_frame(
-        cfg_t, params_t, buffers_t, HS, WS, KS, c2w,
-        stepsize=1.0, bg=0.0, tile=32, patch=48)
-    img = np.asarray(to_u8(out["rgb_marched"]))
+    rows = []
+    for b in range(BANDS):
+        Kb = KS.copy()
+        Kb[1, 2] -= b * bh
+        out = plane_sweep.render_frame(
+            cfg_t, params_t, buffers_t, bh, WS, Kb, c2w,
+            stepsize=1.0, bg=0.0, tile=32, patch=48)
+        rows.append(np.asarray(to_u8(out["rgb_marched"])))
+    img = np.concatenate(rows, axis=0)
     imageio.imwrite(os.path.join(BASE, "images", f"im_{i:03d}.png"), img)
     print(f"view {i}: {time.time() - t0:.1f}s  mean={img.mean():.1f}",
           flush=True)
