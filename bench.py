@@ -20,8 +20,17 @@ import time
 
 import numpy as np
 
-_TRAINED_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "tools", "assets", "med_sr_grids_f16.npz")
+# anchor asset preference: the round-5 fern-slice distillation (trained AT
+# fern geometry with the headline's viewbase_pe=0 cfg class, so the anchor
+# exercises the exact production Pallas path) over the round-3 med-LLFF
+# checkpoint (viewbase_pe=4; its wider viewdir embedding VMEM-constrains
+# tile choices -- the round-4 anchor incident)
+_ASSET_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "assets")
+_TRAINED_CKPTS = [os.path.join(_ASSET_DIR, "fern_sr_grids_f16.npz"),
+                  os.path.join(_ASSET_DIR, "med_sr_grids_f16.npz")]
+_TRAINED_CKPT = next((p for p in _TRAINED_CKPTS if os.path.exists(p)),
+                     _TRAINED_CKPTS[-1])
 
 
 def load_trained_fern_scale():
