@@ -137,7 +137,12 @@ def grid_resize(grid_type: str, gparams, new_size):
     if grid_type == "DenseGrid":
         from fourk_nerf_tpu.ops import grid_sample
 
-        return grid_sample.resize_trilinear(gparams, new_size)
+        # slab-chunked + jitted: the pg_scale upsample to the full fern
+        # grid (37.7M query points x 9 ch) dispatched eagerly materializes
+        # ~11 GB of 8-corner temporaries and RESOURCE_EXHAUSTEDs a 16 GB
+        # chip mid-training (hit at the iter-8000 boundary of the round-5
+        # long slice, with optimizer state resident)
+        return grid_sample.resize_trilinear_chunked(gparams, new_size)
     if grid_type == "TensoRFGrid":
         from fourk_nerf_tpu.ops import tensorf
 
