@@ -171,9 +171,21 @@ class PerceptualLoss:
         self.params = vgg_params
 
     def __call__(self, x, gt):
-        """x, gt: NHWC in [0,1]. Returns (perceptual, style) loss scalars."""
-        fx = self.model.apply({"params": self.params}, x)
-        fg = self.model.apply({"params": self.params}, jax.lax.stop_gradient(gt))
+        """x, gt: NHWC in [0,1]. Returns (perceptual, style) loss scalars.
+
+        NOTE: closes over ``self.params`` -- under jit the ~80 MB of VGG19
+        weights are baked into the HLO as dense constants (measured 160 MB
+        of a 162 MB fern joint-step MLIR; the payload broke the remote
+        compile helper at the full fern grid). Jitted training paths must
+        use :meth:`loss_with_params` with the weights threaded through as
+        a runtime argument instead."""
+        return self.loss_with_params(self.params, x, gt)
+
+    def loss_with_params(self, vgg_params, x, gt):
+        """Same loss with the VGG weights as an explicit (traced) argument."""
+        fx = self.model.apply({"params": vgg_params}, x)
+        fg = self.model.apply({"params": vgg_params},
+                              jax.lax.stop_gradient(gt))
         percep = 0.0
         style = 0.0
         for name, w in self.layer_weights.items():

@@ -161,10 +161,17 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
     # NOTE: donation invalidates the passed-in arrays on EVERY backend
     # (including CPU on this JAX version) -- callers that need to reuse
     # state after stepping (tests, dryruns) must build with donate=False.
+    # vgg_params (NOT donated -- reused every step) carries the perceptual
+    # tower's weights as a runtime argument: closing over them bakes ~80 MB
+    # of dense constants into every per-pg-phase recompile's HLO, which the
+    # remote compile helper rejected at the full fern grid (round-5 slice,
+    # iter-8000 boundary). None falls back to the baked-constant path for
+    # small-scale tests/dryruns.
     @functools.partial(jax.jit, static_argnames=("apply_tv", "tv_dense"),
                        donate_argnums=(0, 2, 3, 4, 5, 6, 7) if donate else ())
     def train_step(enc_params, buffers, enc_opt, sr_params, sr_opt, d_params, d_state,
-                   d_opt, batch, lrs, key, *, apply_tv: bool, tv_dense: bool):
+                   d_opt, batch, lrs, key, vgg_params=None, *,
+                   apply_tv: bool, tv_dense: bool):
         rays_o, rays_d, viewdirs, target, target_hr, w2c = batch
         n_rays = rays_o.shape[0]
         pr = pc = patch
@@ -255,7 +262,10 @@ def make_sr_train_step(model_mod, model_cfg, cfg_train, cfg_model, *, render_kwa
             )
 
             if use_pcp:
-                loss_pcp, loss_style = perceptual(rgb_sr, rgb_hr)
+                loss_pcp, loss_style = (
+                    perceptual(rgb_sr, rgb_hr) if vgg_params is None
+                    else perceptual.loss_with_params(vgg_params, rgb_sr,
+                                                     rgb_hr))
                 terms["loss_pcp"] = loss_pcp
                 terms["loss_style"] = loss_style
                 loss = loss + loss_pcp + loss_style
@@ -499,6 +509,10 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
                     "fine_train.allow_missing_vgg=True to train without the "
                     "perceptual term."
                 ) from e
+    # VGG weights live on device as a train_step ARGUMENT (never a jit
+    # closure: 80 MB of baked HLO constants per pg-phase recompile)
+    vgg_dev = (jax.tree.map(jnp.asarray, perceptual.params)
+               if perceptual is not None else None)
 
     use_gan = cfg_train.get("weight_gan", 0) > 0
     d_params, d_state = None, {}
@@ -703,6 +717,7 @@ def scene_rep_reconstruction_sr_patch(args, cfg, cfg_model, cfg_train, xyz_min, 
          psnr_sr, terms) = train_step(
             params, buffers, enc_opt, sr_params, sr_opt, d_params, d_state, d_opt,
             batch, lrs, k_step,
+            vgg_dev if perceptual is not None else None,
             apply_tv=bool(apply_tv), tv_dense=bool(global_step < cfg_train.tv_dense_before),
         )
         steps_since_reset += 1

@@ -40,6 +40,19 @@ def main():
         weight_tv_k0=1e-7, N_patch=patch, lrate_decay=300,
         skip_zero_grad_fields=["density", "k0"],
     ))
+    # FOURK_TS_PCP=1 reproduces the round-5 fern-slice configuration: the
+    # full published objective incl. the random-VGG perceptual/style tower
+    # (the slice's full-grid joint-step compile 500'd at the iter-8000
+    # boundary; bench_train_step had only ever compiled the tower-less step)
+    import os
+    perceptual = None
+    if os.environ.get("FOURK_TS_PCP", "0") == "1":
+        from fourk_nerf_tpu.train import sr_losses
+        cfg_train.weight_pcp = 0.5
+        cfg_train.weight_style = 0.2
+        perceptual = sr_losses.PerceptualLoss(
+            perceptual_weight=0.5, style_weight=0.2, allow_random_vgg=True)
+    only = os.environ.get("FOURK_TS_ONLY", "")
     render_kwargs = dict(near=0.0, far=1.0, bg=1.0, stepsize=1.0,
                          rand_bkgd=True, ndc_planes=True)
     sr_model = sr_esrnet.SFTNet(n_in_colors=3, scale=sr_ratio, num_feat=64,
@@ -85,7 +98,8 @@ def main():
             dmpigo, model_cfg, cfg_train, cfg_model, render_kwargs=render_kwargs,
             skip_zero_grad=frozenset(cfg_train.skip_zero_grad_fields),
             sr_model=sr_model, d_model=d_model, n_views=1, patch=patch,
-            sr_ratio=sr_ratio, perceptual=None, d_kind="Unet", sweep_patch=sp,
+            sr_ratio=sr_ratio, perceptual=perceptual, d_kind="Unet",
+            sweep_patch=sp,
             grid_window=grid_window,
         )
     flat = lambda x: jnp.asarray(np.asarray(x).reshape(-1, 3))
@@ -104,13 +118,18 @@ def main():
     # fern grid on a 16G chip alongside Adam moments
     results = {}
     out = (params, enc_opt, sr_params, sr_opt, d_params, d_state, d_opt)
-    for label, grid_window in (("full-grid", None), ("windowed", gw)):
+    variants = (("full-grid", None), ("windowed", gw))
+    if only:
+        variants = tuple(v for v in variants if v[0] == only)
+    for label, grid_window in variants:
         train_step = build_step(grid_window)
+
+        vgg_dev = perceptual.params if perceptual is not None else None
 
         def step(ep, eo, sp_, so, dp, ds, do_, i):
             return train_step(ep, buffers, eo, sp_, so, dp, ds, do_, batch,
-                              lrs, jax.random.PRNGKey(i), apply_tv=False,
-                              tv_dense=False)
+                              lrs, jax.random.PRNGKey(i), vgg_dev,
+                              apply_tv=False, tv_dense=False)
 
         t0 = time.perf_counter()
         o = step(*out, 0)
@@ -131,6 +150,8 @@ def main():
               f"{step_ms:.1f} ms -> {1e3 / step_ms:.1f} it/s; 300k iters = "
               f"{step_ms * 300e3 / 3.6e6:.1f} h", flush=True)
 
+        if perceptual is not None:
+            continue  # repro mode: don't overwrite the round-4 traces
         import pathlib
         tdir = pathlib.Path(f"/root/repo/profile_r4/train_step_{label}")
         tdir.mkdir(parents=True, exist_ok=True)
